@@ -1,0 +1,24 @@
+"""Model registry (reference models/epsnet/__init__.py:1-15).
+
+``get_model(config.model)`` dispatches on ``config.network``.  The reference's
+``dualenc_general`` branch imports a nonexistent module and is dead code; it
+is intentionally not carried over.
+"""
+
+from tsdiff_tpu.models.condensenc import CondenseEncoderEpsNetwork  # noqa: F401
+from tsdiff_tpu.models.edge import (  # noqa: F401
+    GaussianSmearingEdgeEncoder,
+    MLPEdgeEncoder,
+    get_edge_encoder,
+)
+from tsdiff_tpu.models.schnet import SchNetEncoder  # noqa: F401
+
+
+def get_model(config, dtype=None):
+    if config.network == "condensenc":
+        return CondenseEncoderEpsNetwork.from_config(config, dtype=dtype)
+    elif config.network == "dualenc":
+        from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
+
+        return DualEncoderEpsNetwork.from_config(config, dtype=dtype)
+    raise NotImplementedError(f"Unknown network: {config.network}")

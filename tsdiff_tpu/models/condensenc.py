@@ -1,0 +1,192 @@
+"""CondenseEncoderEpsNetwork — the production TS score network.
+
+TPU-native re-design of reference models/epsnet/condensenc.py:47-265.
+
+Structure (hidden H=256, feat_dim F=25 — configs/train_config.yml):
+
+  node state   z = concat[atom_emb(Z) + feat_emb(r_feat),
+                          feat_emb(p_feat) - feat_emb(r_feat)]   (B,N,H)
+               (reference condensenc.py:192-198)
+  edges        condensed R/P extension at ``edge_order`` + radius graph,
+               rebuilt from the current coordinates every call
+               (reference condensenc.py:201-206)
+  edge attr    edge_cat(concat[enc(d, type_r), enc(d, type_p)])  (B,N,N,H)
+               (reference condensenc.py:156-176)
+  encoder      SchNet over the global edge set                    (B,N,H)
+  head         re-extend at ``pred_edge_order`` (3 vs input 4,
+               reference condensenc.py:219-234), then
+               edge_inv = grad_dist_mlp(concat[h_i * h_j, edge_attr])
+               per pair                                           (B,N,N,1)
+
+The network is deliberately time-unconditioned: ``forward_`` never consumes
+``time_step`` (reference condensenc.py:178-239); DDPM conditioning lives in
+the target scaling of the loss.
+
+All shapes are static; the whole forward is one XLA program and is rebuilt
+inside each sampler scan step with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tsdiff_tpu.core.geometry import pairwise_distance
+from tsdiff_tpu.core.graph_ops import GraphEdges, extend_ts_graph, radius_edge_mask
+from tsdiff_tpu.models.activations import activation_loader
+from tsdiff_tpu.models.edge import GaussianSmearingEdgeEncoder, MLPEdgeEncoder
+from tsdiff_tpu.models.mlp import MLP, TorchLinear
+from tsdiff_tpu.models.schnet import SchNetEncoder
+
+NUM_ATOM_TYPES = 100  # atomic-number embedding table size (reference condensenc.py:58)
+
+
+class EdgeCat(nn.Module):
+    """2-layer fusion MLP for the concatenated R/P edge embeddings
+    (reference condensenc.py:105-115)."""
+
+    out_channels: int
+    activation: str = "swish"
+    dtype: jax.typing.DTypeLike | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        act = activation_loader(self.activation)
+        x = TorchLinear(self.out_channels, dtype=self.dtype, name="lin0")(x)
+        x = act(x)
+        return TorchLinear(self.out_channels, dtype=self.dtype, name="lin1")(x)
+
+
+class CondenseEncoderEpsNetwork(nn.Module):
+    hidden_dim: int = 256
+    feat_dim: int = 25
+    edge_encoder: str = "mlp"
+    mlp_act: str = "swish"
+    edge_cat_act: str = "swish"
+    edge_order: int = 4
+    pred_edge_order: int = 3
+    edge_cutoff: float = 10.0
+    num_convs: int = 7
+    cutoff: float = 10.0
+    smooth_conv: bool = False
+    dtype: jax.typing.DTypeLike | None = None
+
+    @classmethod
+    def from_config(cls, config, dtype=None) -> "CondenseEncoderEpsNetwork":
+        """Build from a reference-compatible model config
+        (reference configs/train_config.yml:1-32)."""
+        enc = config.encoder
+        assert enc.name == "schnet", f"unsupported encoder {enc.name} for condensenc"
+        return cls(
+            hidden_dim=config.hidden_dim,
+            feat_dim=config.feat_dim,
+            edge_encoder=config.edge_encoder,
+            mlp_act=config.mlp_act,
+            edge_cat_act=config.edge_cat_act,
+            edge_order=config.edge_order,
+            pred_edge_order=config.get("pred_edge_order", config.edge_order),
+            edge_cutoff=config.edge_cutoff,
+            num_convs=enc.num_convs,
+            cutoff=enc.cutoff,
+            smooth_conv=enc.smooth_conv,
+            dtype=dtype,
+        )
+
+    def setup(self):
+        assert self.hidden_dim % 2 == 0
+        half = self.hidden_dim // 2
+        self.atom_embedding = nn.Embed(
+            NUM_ATOM_TYPES,
+            half,
+            embedding_init=jax.nn.initializers.normal(1.0),
+            dtype=self.dtype,
+        )
+        # no-bias linear on one-hot features (reference condensenc.py:59-61)
+        self.atom_feat_embedding = TorchLinear(half, use_bias=False, dtype=self.dtype)
+
+        if self.edge_encoder == "mlp":
+            self.edge_enc = MLPEdgeEncoder(
+                hidden_dim=self.hidden_dim, activation=self.mlp_act, dtype=self.dtype
+            )
+        elif self.edge_encoder == "gaussian":
+            self.edge_enc = GaussianSmearingEdgeEncoder(
+                num_gaussians=self.hidden_dim // 2, cutoff=self.cutoff, dtype=self.dtype
+            )
+        else:
+            raise NotImplementedError(f"Unknown edge encoder: {self.edge_encoder}")
+
+        self.edge_cat = EdgeCat(
+            out_channels=self.edge_enc.out_channels,
+            activation=self.edge_cat_act,
+            dtype=self.dtype,
+        )
+        self.encoder = SchNetEncoder(
+            hidden_channels=self.hidden_dim,
+            num_filters=self.hidden_dim,
+            num_interactions=self.num_convs,
+            cutoff=self.cutoff,
+            smooth=self.smooth_conv,
+            dtype=self.dtype,
+        )
+        self.grad_dist_mlp = MLP(
+            [self.hidden_dim, self.hidden_dim // 2, 1],
+            activation=self.mlp_act,
+            dtype=self.dtype,
+        )
+
+    def _edges(self, bond_mat, pos, node_mask, order) -> GraphEdges:
+        """Condensed graph extension on the current coordinates
+        (reference condensenc.py:117-154, semantics in core/graph_ops.py)."""
+        mask_local, type_r, type_p = extend_ts_graph(bond_mat, node_mask, order)
+        mask_radius = radius_edge_mask(pos, node_mask, self.edge_cutoff)
+        return GraphEdges(
+            mask_global=mask_local | mask_radius,
+            mask_local=mask_local,
+            type_r=type_r,
+            type_p=type_p,
+        )
+
+    def _edge_embedding(self, edge_length, type_r, type_p) -> jax.Array:
+        """(reference condensenc.py:156-176, emb_type='bond_w_d')."""
+        attr_r = self.edge_enc(edge_length[..., None], type_r)
+        attr_p = self.edge_enc(edge_length[..., None], type_p)
+        return self.edge_cat(jnp.concatenate([attr_r, attr_p], axis=-1))
+
+    def __call__(
+        self,
+        atom_type: jax.Array,   # (B, N) int
+        r_feat: jax.Array,      # (B, N, F)
+        p_feat: jax.Array,      # (B, N, F)
+        pos: jax.Array,         # (B, N, 3)
+        bond_mat: jax.Array,    # (B, N, N) int condensed types
+        node_mask: jax.Array,   # (B, N) bool
+    ) -> tuple[jax.Array, GraphEdges, jax.Array]:
+        """Score-network forward (reference condensenc.py:178-239 ``forward_``).
+
+        Returns (edge_inv (B,N,N,1), edges at pred_edge_order, edge_length).
+        """
+        dt = self.dtype or jnp.float32
+        a_emb = self.atom_embedding(atom_type)
+        af_r = self.atom_feat_embedding(r_feat.astype(dt))
+        af_p = self.atom_feat_embedding(p_feat.astype(dt))
+        z = jnp.concatenate([a_emb + af_r, af_p - af_r], axis=-1)
+        # zero padded nodes so masked message passing stays exact
+        z = z * node_mask[..., None].astype(z.dtype)
+
+        edges = self._edges(bond_mat, pos, node_mask, self.edge_order)
+        d = pairwise_distance(pos, edges.mask_global)
+        edge_attr = self._edge_embedding(d, edges.type_r, edges.type_p)
+
+        node_attr = self.encoder(z, edge_attr, d, edges.mask_global)
+
+        if self.pred_edge_order != self.edge_order:
+            edges = self._edges(bond_mat, pos, node_mask, self.pred_edge_order)
+            d = pairwise_distance(pos, edges.mask_global)
+            edge_attr = self._edge_embedding(d, edges.type_r, edges.type_p)
+
+        h_pair = jnp.concatenate(
+            [node_attr[:, :, None, :] * node_attr[:, None, :, :], edge_attr], axis=-1
+        )  # (B, N, N, 2H) — assemble_atom_pair_feature (reference common.py:226-229)
+        edge_inv = self.grad_dist_mlp(h_pair)  # (B, N, N, 1)
+        return edge_inv, edges, d

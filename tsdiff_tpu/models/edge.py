@@ -1,0 +1,110 @@
+"""Edge encoders on the dense pair grid.
+
+Re-designs of reference models/encoder/edge.py for (B, N, N, ...) tensors:
+the per-edge Embedding lookup + tiny MLP become batched dense ops over the
+full pair grid; masking is applied downstream (multiplicatively in CFConv /
+the output head), so garbage values at non-edge pairs never propagate.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tsdiff_tpu.models.mlp import MLP
+
+#: Embedding-table size for edge types (reference uses Embedding(100, ...),
+#: models/encoder/edge.py:49 — covers condensed high-order codes <= 25).
+NUM_EDGE_TYPES = 100
+
+
+class MLPEdgeEncoder(nn.Module):
+    """d_emb(edge_length) * bond_emb(edge_type)  (reference models/encoder/edge.py:45-68).
+
+    Inputs: edge_length (B,N,N,1) float, edge_type (B,N,N) int.
+    Output: (B,N,N,H).
+    """
+
+    hidden_dim: int = 100
+    activation: str = "relu"
+    dtype: jax.typing.DTypeLike | None = None
+
+    @property
+    def out_channels(self) -> int:
+        return self.hidden_dim
+
+    @nn.compact
+    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
+        d_emb = MLP(
+            [self.hidden_dim, self.hidden_dim],
+            activation=self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )(edge_length)
+        bond = nn.Embed(
+            NUM_EDGE_TYPES,
+            self.hidden_dim,
+            embedding_init=jax.nn.initializers.normal(1.0),  # torch Embedding default
+            dtype=self.dtype,
+            name="bond_emb",
+        )(edge_type)
+        return d_emb * bond
+
+
+class GaussianSmearing(nn.Module):
+    """RBF expansion of distances (reference models/encoder/schnet.py:14-23)."""
+
+    start: float = 0.0
+    stop: float = 5.0
+    num_gaussians: int = 50
+
+    def __call__(self, dist: jax.Array) -> jax.Array:
+        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        coeff = -0.5 / float(offset[1] - offset[0]) ** 2
+        diff = dist[..., None] - offset
+        return jnp.exp(coeff * diff**2)
+
+
+class GaussianSmearingEdgeEncoder(nn.Module):
+    """concat[RBF(edge_length), bond_emb(edge_type)] (reference models/encoder/edge.py:18-42).
+
+    The reference version has a latent NameError (missing GaussianSmearing
+    import); implemented working here.  RBF stop = 2*cutoff "to encode more
+    cases" (reference edge.py:25-26).
+    """
+
+    num_gaussians: int = 64
+    cutoff: float = 10.0
+    dtype: jax.typing.DTypeLike | None = None
+
+    @property
+    def out_channels(self) -> int:
+        return self.num_gaussians * 2
+
+    @nn.compact
+    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
+        rbf = GaussianSmearing(0.0, self.cutoff * 2, self.num_gaussians, name="rbf")(
+            edge_length[..., 0]
+        )
+        bond = nn.Embed(
+            NUM_EDGE_TYPES,
+            self.num_gaussians,
+            embedding_init=jax.nn.initializers.normal(1.0),
+            dtype=self.dtype,
+            name="bond_emb",
+        )(edge_type)
+        return jnp.concatenate([rbf, bond], axis=-1)
+
+
+def get_edge_encoder(config, dtype=None) -> nn.Module:
+    """Factory (reference models/encoder/edge.py:71-77)."""
+    if config.edge_encoder == "mlp":
+        return MLPEdgeEncoder(
+            hidden_dim=config.hidden_dim, activation=config.mlp_act, dtype=dtype
+        )
+    elif config.edge_encoder == "gaussian":
+        return GaussianSmearingEdgeEncoder(
+            num_gaussians=config.hidden_dim // 2, cutoff=config.cutoff, dtype=dtype
+        )
+    raise NotImplementedError(f"Unknown edge encoder: {config.edge_encoder}")
