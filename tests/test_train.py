@@ -1,0 +1,131 @@
+"""Training: step mechanics, loss descent, plateau scheduler, checkpoints, DP sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tsdiff_tpu.config import Config
+from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+from tsdiff_tpu.models import get_model
+from tsdiff_tpu.train import (
+    PlateauScheduler,
+    get_checkpoint_path,
+    init_train_state,
+    load_checkpoint,
+    make_eval_step,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+    replicate,
+    save_checkpoint,
+    shard_batch,
+)
+from tsdiff_tpu.train.scheduler import get_scheduler
+
+from test_condensenc import MODEL_CFG, make_batch
+
+OPT_CFG = Config(type="adam", lr=5e-4, weight_decay=0.0, beta1=0.95, beta2=0.999)
+
+
+def _setup(batch):
+    model = get_model(MODEL_CFG)
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    params = model.init(
+        jax.random.key(0),
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    tx = make_optimizer(OPT_CFG, max_grad_norm=3000.0)
+    state = init_train_state(model, tx, params)
+    step = make_train_step(model, tx, schedule)
+    return model, schedule, tx, state, step
+
+
+def test_train_loss_decreases():
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, [5, 7, 6, 8], n_pad=8)
+    model, schedule, tx, state, step = _setup(batch)
+
+    losses = []
+    key = jax.random.key(1)
+    for it in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, 5e-4)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_eval_step_and_metrics():
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, [5, 7], n_pad=8)
+    model, schedule, tx, state, step = _setup(batch)
+    ev = make_eval_step(model, schedule)
+    ls, nn = ev(state.params, batch, jax.random.key(0))
+    assert float(nn) == 12.0
+    assert np.isfinite(float(ls))
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, min_lr=0.1)
+    # improving: stays
+    assert s.step(10.0) == 1.0
+    assert s.step(9.0) == 1.0
+    # stagnating: drops after patience+1 bad epochs
+    assert s.step(9.0) == 1.0   # bad 1
+    assert s.step(9.0) == 1.0   # bad 2
+    assert s.step(9.0) == 0.5   # bad 3 > patience -> reduce
+    # floor
+    for _ in range(20):
+        s.step(9.0)
+    assert s.lr >= 0.1
+
+    s2 = get_scheduler(Config(type="plateau", factor=0.8, patience=10, min_lr=1.25e-4), 5e-4)
+    assert isinstance(s2, PlateauScheduler)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    batch = make_batch(rng, [5], n_pad=8)
+    model, schedule, tx, state, step = _setup(batch)
+    sched = PlateauScheduler(lr=5e-4)
+    p = str(tmp_path / "10.ckpt")
+    cfg = Config(model=MODEL_CFG.to_dict())
+    save_checkpoint(p, cfg, state, sched.state_dict(), iteration=10, avg_val_loss=1.5)
+    ck = load_checkpoint(p)
+    assert ck["iteration"] == 10
+    assert ck["avg_val_loss"] == 1.5
+    assert ck["config"]["model"]["hidden_dim"] == MODEL_CFG.hidden_dim
+    # params round-trip exactly
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(ck["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), y)
+    # latest-checkpoint discovery
+    save_checkpoint(str(tmp_path / "20.ckpt"), cfg, state, None, iteration=20)
+    path, it = get_checkpoint_path(str(tmp_path))
+    assert it == 20 and path.endswith("20.ckpt")
+
+
+def test_dp_sharded_train_step_matches_single_device():
+    """Same batch, sharded over an 8-way dp mesh vs unsharded: identical loss
+    and identical updated params (XLA inserts the gradient psum)."""
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, [5, 7, 6, 8, 5, 7, 6, 8], n_pad=8)
+    model, schedule, tx, state, step = _setup(batch)
+    key = jax.random.key(5)
+
+    state_ref, m_ref = step(state, batch, key, 5e-4)
+
+    mesh = make_mesh(dp=8, ens=1)
+    batch_sh = shard_batch(batch, mesh)
+    state_sh = replicate(state, mesh)
+    state_out, m_sh = step(state_sh, batch_sh, key, 5e-4)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_sh["loss"]), rtol=1e-5)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state_ref.params),
+        jax.tree_util.tree_leaves(state_out.params),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)

@@ -1,0 +1,17 @@
+from tsdiff_tpu.train.scheduler import ExpMinScheduler, PlateauScheduler, get_scheduler  # noqa: F401
+from tsdiff_tpu.train.sharding import (  # noqa: F401
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_ensemble_params,
+)
+from tsdiff_tpu.train.trainer import (  # noqa: F401
+    TrainState,
+    get_checkpoint_path,
+    init_train_state,
+    load_checkpoint,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    save_checkpoint,
+)

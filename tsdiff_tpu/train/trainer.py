@@ -1,0 +1,143 @@
+"""Training: jitted update step, optimizer factory, checkpoints.
+
+Mirrors the reference training semantics (reference train.py:124-231 +
+utils/common.py:58-70): Adam (beta1 0.95 in production), global-norm gradient
+clipping at max_grad_norm (3000), per-step loss = mean over real atoms, LR
+driven by a host-side plateau controller on the validation loss.
+
+The optimizer is optax ``scale_by_adam`` with the LR applied as a runtime
+scalar argument — so LR changes from the host controller never retrace the
+jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tsdiff_tpu.core.graph import ReactionBatch
+from tsdiff_tpu.diffusion.objective import diffusion_loss
+from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # () int32
+
+
+def make_optimizer(opt_config, max_grad_norm: float) -> optax.GradientTransformation:
+    """Adam-only factory (reference utils/common.py:58-70) + global-norm clip
+    (reference train.py:144).  LR is applied separately (see train_step)."""
+    assert opt_config.type == "adam", f"Optimizer not supported: {opt_config.type}"
+    txs = [
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.scale_by_adam(b1=opt_config.beta1, b2=opt_config.beta2),
+    ]
+    if opt_config.get("weight_decay", 0.0):
+        txs.append(optax.add_decayed_weights(opt_config.weight_decay))
+    return optax.chain(*txs)
+
+
+def init_train_state(model, tx, params) -> TrainState:
+    return TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32)
+    )
+
+
+def make_train_step(model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
+    """Returns jitted (state, batch, key, lr) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: ReactionBatch, key, lr):
+        def loss_fn(p):
+            return diffusion_loss(model, p, schedule, batch, key, t0=t0, t1=t1)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_sum": aux["loss_sum"],
+            "n_nodes": aux["n_nodes"],
+            "grad_norm": grad_norm,
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(train_step)
+
+
+def make_eval_step(model, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
+    """Jitted validation step: per-batch (loss_sum, n_nodes) so the caller can
+    average over the full set (reference train.py:154-174)."""
+
+    def eval_step(params, batch: ReactionBatch, key):
+        _, aux = diffusion_loss(model, params, schedule, batch, key, t0=t0, t1=t1)
+        return aux["loss_sum"], aux["n_nodes"]
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing: self-describing (embedded config), torch-free pickle of
+# numpy-ified pytrees (reference train.py:220-231; sampling reconstructs the
+# model from the embedded config, reference sampling.py:124-130).
+# ---------------------------------------------------------------------------
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    config,
+    state: TrainState,
+    scheduler_state: dict | None = None,
+    iteration: int | None = None,
+    avg_val_loss: float | None = None,
+):
+    payload = {
+        "format": "tsdiff_tpu.ckpt.v1",
+        "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
+        "params": _to_numpy(state.params),
+        "opt_state": _to_numpy(state.opt_state),
+        "scheduler": scheduler_state,
+        "iteration": int(iteration if iteration is not None else state.step),
+        "avg_val_loss": avg_val_loss,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload.get("format") == "tsdiff_tpu.ckpt.v1", f"unknown checkpoint format in {path}"
+    return payload
+
+
+def get_checkpoint_path(ckpt_dir: str, it: int | None = None) -> tuple[str, int]:
+    """Latest (or specific) '<iteration>.ckpt' in a directory
+    (reference utils/misc.py:106-113)."""
+    iters = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(ckpt_dir)
+        if f.endswith(".ckpt") and f.split(".")[0].isdigit()
+    )
+    if not iters:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    chosen = it if it is not None else iters[-1]
+    return os.path.join(ckpt_dir, f"{chosen}.ckpt"), chosen
