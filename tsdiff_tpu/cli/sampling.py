@@ -1,0 +1,200 @@
+"""Ensemble TS-generation CLI — reference-sampling.py-compatible workflow.
+
+Usage:
+    python -m tsdiff_tpu.cli.sampling CKPT [CKPT ...] --test_set X --save_dir OUT \
+        [--sampling_type ld --n_steps 5000 --step_lr 1e-7 ...]
+
+Mirrors reference sampling.py: loads N checkpoints (self-describing — the
+model is rebuilt from the embedded config), preprocesses the test set (.txt
+SMARTS list / tsdiff_tpu .pkl dataset / a raw SMARTS string), batches with
+optional per-reaction repetition, runs ensemble reverse diffusion, rescales
+trajectories by sqrt(alpha), and pickles incremental + final results.
+
+Reference bugs fixed (SURVEY.md appendix): the NaN retry now actually applies
+clip=20 (reference sets a dead local, sampling.py:234-236); --resume takes a
+results path (reference declared store_true but used it as a path); the .pkl
+test-set branch opens the file for reading (reference opened with mode "w",
+truncating it, sampling.py:149).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+
+def batching(items, batch_size, repeat_num=1):
+    """Repeat each item repeat_num times, then chunk (reference sampling.py:26-43)."""
+    expanded = []
+    for x in items:
+        expanded.extend([dict(x) for _ in range(repeat_num)])
+    for i in range(0, len(expanded), batch_size):
+        yield expanded[i : i + batch_size]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("ckpt", type=str, nargs="+", help="checkpoint path(s) for the ensemble")
+    parser.add_argument("--batch_size", type=int, default=100)
+    parser.add_argument("--resume", type=str, default=None, help="path to partial results pickle")
+    parser.add_argument("--save_traj", action="store_true", default=False)
+    parser.add_argument("--save_dir", type=str, required=True)
+    parser.add_argument("--feat_dict", type=str, default="./data/TS/wb97xd3/random_split_42/feat_dict.pkl")
+    parser.add_argument("--test_set", type=str, required=True,
+                        help=".txt smarts list | tsdiff_tpu .pkl dataset | a raw smarts string")
+    parser.add_argument("--start_idx", type=int, default=0)
+    parser.add_argument("--end_idx", type=int, default=9999)
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--from_ts_guess", action="store_true", default=False)
+    parser.add_argument("--denoise_from_time_t", type=int, default=None)
+    parser.add_argument("--noise_from_time_t", type=int, default=None)
+    parser.add_argument("--clip", type=float, default=1000.0)
+    parser.add_argument("--n_steps", type=int, default=5000)
+    parser.add_argument("--sampling_type", type=str, default="ld",
+                        help="ld | ddpm | ddpm_noisy | ddpm_det | generalized")
+    parser.add_argument("--eta", type=float, default=1.0)
+    parser.add_argument("--step_lr", type=float, default=1e-7)
+    parser.add_argument("--seed", type=int, default=2022)
+    parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tsdiff_tpu.config import Config
+    from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.data import TSDataset, load_dataset
+    from tsdiff_tpu.data.dataset import default_buckets, pick_bucket
+    from tsdiff_tpu.data.featurize import featurize_smarts_list
+    from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
+    from tsdiff_tpu.diffusion.sampler import (
+        SamplingSettings,
+        dynamic_sampling,
+        rescale_trajectory,
+    )
+    from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from tsdiff_tpu.models import get_model
+    from tsdiff_tpu.train import load_checkpoint
+    from tsdiff_tpu.utils.misc import get_logger, seed_all
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = get_logger("sampling", args.save_dir)
+    logger.info(args)
+
+    # Checkpoints: self-describing; model rebuilt from the embedded config.
+    logger.info("Loading checkpoints...")
+    cks = [load_checkpoint(p) for p in args.ckpt]
+    model_cfg = Config(cks[0]["config"]).model
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    model = get_model(model_cfg, dtype=dtype)
+    schedule = DiffusionSchedule.from_config(model_cfg)
+    stacked = stack_params(
+        [jax.tree_util.tree_map(jnp.asarray, ck["params"]) for ck in cks]
+    )
+    seed_all(args.seed)
+
+    # Test set
+    logger.info("Loading test set...")
+    if args.test_set.endswith(".txt"):
+        smarts_list = open(args.test_set).read().strip().split("\n")
+        with open(args.feat_dict, "rb") as f:
+            feat_dict = pickle.load(f)
+        test_set = featurize_smarts_list(smarts_list, feat_dict)
+    elif args.test_set.endswith((".pkl", ".pck")):
+        test_set, _ = load_dataset(args.test_set)
+    else:
+        with open(args.feat_dict, "rb") as f:
+            feat_dict = pickle.load(f)
+        test_set = featurize_smarts_list([args.test_set], feat_dict)
+    test_set = [g for i, g in enumerate(test_set) if args.start_idx <= i < args.end_idx]
+    logger.info(f"{len(test_set)} reactions selected")
+
+    done_smiles = set()
+    results = []
+    if args.resume is not None:
+        with open(args.resume, "rb") as f:
+            results = pickle.load(f)
+        done_smiles = {g.get("smiles") for g in results}
+        test_set = [g for g in test_set if g.get("smiles") not in done_smiles]
+        logger.info(f"Resumed {len(results)} results; {len(test_set)} remaining")
+
+    buckets = default_buckets(max(int(g["atom_type"].shape[0]) for g in test_set))
+
+    def sample_batch(graphs: list[dict], clip: float):
+        n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in graphs)
+        batch = from_numpy_graphs(graphs, max_nodes=n_pad)
+        settings = SamplingSettings(
+            sampling_type=args.sampling_type,
+            n_steps=args.n_steps,
+            step_lr=args.step_lr,
+            clip=clip,
+            eta=args.eta,
+            denoise_from_time_t=args.denoise_from_time_t,
+            noise_from_time_t=args.noise_from_time_t,
+            save_traj=args.save_traj,
+        )
+        if args.from_ts_guess:
+            assert args.denoise_from_time_t is not None
+            guess_key = "ts_guess" if "ts_guess" in graphs[0] else "pos"
+            guesses = [g[guess_key] for g in graphs]
+            pos_init = np.zeros((len(graphs), n_pad, 3), np.float32)
+            for b, g in enumerate(guesses):
+                pos_init[b, : len(g)] = g
+            start_t = (
+                args.noise_from_time_t
+                if args.noise_from_time_t is not None
+                else args.denoise_from_time_t
+            )
+            sqrt_a = float(np.sqrt(np.asarray(schedule.alphas)[start_t - 1])) if start_t != 0 else 1.0
+            pos_init = jnp.asarray(pos_init) / sqrt_a
+        else:
+            pos_init = jax.random.normal(
+                jax.random.key(args.seed + len(results)), (len(graphs), n_pad, 3)
+            )
+        score_fn = make_ensemble_score_fn(model, stacked, batch)
+        res = jax.jit(
+            lambda k: dynamic_sampling(
+                score_fn, schedule, pos_init, batch.node_mask, k, settings
+            )
+        )(jax.random.key(args.seed * 7919 + len(results)))
+        return batch, res, settings
+
+    from tqdm.auto import tqdm
+
+    for graphs in tqdm(list(batching(test_set, args.batch_size, args.repeat))):
+        res = None
+        for attempt, clip in enumerate([args.clip, 20.0]):  # retry at clip=20 on NaN
+            batch, res, settings = sample_batch(graphs, clip)
+            if not bool(res.nan_detected):
+                break
+            logger.warning("NaN detected; retrying with clipping thresh 20.")
+        pos = np.asarray(res.pos)
+        traj = (
+            np.asarray(rescale_trajectory(res.traj, schedule, settings))
+            if args.save_traj
+            else None
+        )
+        for b, g in enumerate(graphs):
+            n = int(g["atom_type"].shape[0])
+            out = dict(g)
+            out["pos_gen"] = traj[:, b, :n] if traj is not None else pos[b, :n]
+            results.append(out)
+            done_smiles.add(out.get("smiles"))
+        with open(os.path.join(args.save_dir, "samples_not_all.pkl"), "wb") as f:
+            pickle.dump(results, f)
+
+    partial = os.path.join(args.save_dir, "samples_not_all.pkl")
+    if os.path.exists(partial):
+        os.remove(partial)
+    save_path = os.path.join(args.save_dir, "samples_all.pkl")
+    logger.info("Saving samples to: %s" % save_path)
+    with open(save_path, "wb") as f:
+        pickle.dump(results, f)
+    return save_path
+
+
+if __name__ == "__main__":
+    main()

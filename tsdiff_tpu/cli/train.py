@@ -1,0 +1,225 @@
+"""Training CLI — reference-train.py-compatible workflow.
+
+Usage:
+    python -m tsdiff_tpu.cli.train configs/train_config.yml [--logdir ./logs ...]
+    python -m tsdiff_tpu.cli.train <previous_log_dir>          # resume
+
+Mirrors reference train.py: YAML config (or a log dir to resume, discovering
+the latest checkpoint), seeded setup, infinite training iterator, periodic
+validation driving a plateau LR controller, checkpoint-on-improvement with
+the config embedded.  Additions over the reference: data-parallel execution
+over all local devices via the (dp, ens) mesh when more than one device is
+present, bucketed fixed-shape batching, and a --dtype flag for bf16 compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config", type=str, help="config yaml, or a log dir to resume")
+    parser.add_argument("--resume_iter", type=int, default=None)
+    parser.add_argument("--logdir", type=str, default="./logs")
+    parser.add_argument("--pretrain", type=str, default="")
+    parser.add_argument("--project", type=str, default="")
+    parser.add_argument("--name", type=str, default="")
+    parser.add_argument("--tag", type=str, default=None)
+    parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--max_iters", type=int, default=None, help="override config max_iters")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tsdiff_tpu.config import load_config, save_config, Config
+    from tsdiff_tpu.data import PaddedBatchLoader, TSDataset, inf_iterator
+    from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from tsdiff_tpu.models import get_model
+    from tsdiff_tpu.train import (
+        TrainState,
+        get_checkpoint_path,
+        init_train_state,
+        load_checkpoint,
+        make_eval_step,
+        make_mesh,
+        make_optimizer,
+        make_train_step,
+        replicate,
+        save_checkpoint,
+        shard_batch,
+    )
+    from tsdiff_tpu.train.scheduler import get_scheduler
+    from tsdiff_tpu.utils.misc import count_parameters, get_logger, get_new_log_dir, seed_all
+
+    resume = os.path.isdir(args.config)
+    if resume:
+        config_path = glob.glob(os.path.join(args.config, "*.yml"))[0]
+        resume_from = args.config
+    else:
+        config_path = args.config
+    config = load_config(config_path)
+    config_name = os.path.splitext(os.path.basename(config_path))[0]
+    seed_all(config.train.seed)
+    if args.max_iters is not None:
+        config.train.max_iters = args.max_iters
+
+    tag = args.tag if args.tag is not None else args.name
+    log_dir = get_new_log_dir(
+        args.logdir, prefix=config_name, tag=f"{tag}_resume" if resume else tag
+    )
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = get_logger("train", log_dir)
+    logger.info(args)
+    logger.info(config)
+    shutil.copyfile(config_path, os.path.join(log_dir, os.path.basename(config_path)))
+
+    use_wandb = False
+    if args.name and args.project:
+        try:
+            import wandb
+
+            wandb.init(project=args.project, name=args.name)
+            wandb.config = config.to_dict()
+            use_wandb = True
+        except ImportError:
+            logger.warning("wandb not installed; logging to file only")
+
+    # Datasets
+    logger.info("Loading datasets...")
+    train_set = TSDataset(config.dataset.train)
+    val_set = TSDataset(config.dataset.val)
+    tpu_cfg = config.get("tpu", Config())
+    bucket_sizes = tpu_cfg.get("bucket_sizes", None)
+    train_loader = PaddedBatchLoader(
+        train_set, config.train.batch_size, shuffle=True,
+        bucket_sizes=bucket_sizes, seed=config.train.seed,
+    )
+    val_loader = PaddedBatchLoader(
+        val_set, config.train.batch_size, shuffle=False, bucket_sizes=bucket_sizes
+    )
+    train_iter = inf_iterator(train_loader)
+
+    # Mesh: all local devices data-parallel
+    n_dev = len(jax.devices())
+    mesh = make_mesh(dp=n_dev, ens=1)
+    logger.info(f"Devices: {n_dev} -> mesh (dp={n_dev}, ens=1)")
+
+    # Model / optimizer / schedule
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    model = get_model(config.model, dtype=dtype)
+    schedule = DiffusionSchedule.from_config(config.model)
+    tx = make_optimizer(config.train.optimizer, config.train.max_grad_norm)
+    t0 = config.model.get("t0", 0)
+    t1 = config.model.get("t1", None)
+    train_step = make_train_step(model, tx, schedule, t0=t0, t1=t1)
+    eval_step = make_eval_step(model, schedule, t0=t0, t1=t1)
+    scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
+
+    probe = next(iter(train_loader))
+    params = model.init(
+        jax.random.key(config.train.seed),
+        probe.atom_type, probe.r_feat, probe.p_feat,
+        probe.pos, probe.bond_mat, probe.node_mask,
+    )
+    state = init_train_state(model, tx, params)
+    start_iter = 1
+
+    if resume:
+        ckpt_path, start_iter = get_checkpoint_path(
+            os.path.join(resume_from, "checkpoints"), it=args.resume_iter
+        )
+        logger.info(f"Resuming from {ckpt_path} (iteration {start_iter})")
+        ck = load_checkpoint(ckpt_path)
+        state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
+            step=jnp.asarray(start_iter, jnp.int32),
+        )
+        if ck.get("scheduler"):
+            scheduler.load_state_dict(ck["scheduler"])
+
+    if args.pretrain:
+        logger.info(f"Warm-start weights from {args.pretrain}")
+        ck = load_checkpoint(args.pretrain)
+        state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+
+    state = replicate(state, mesh)
+    logger.info(f"Parameters: {count_parameters(state.params):,}")
+
+    def validate(it: int) -> float:
+        sum_loss, sum_n = 0.0, 0.0
+        for vi, batch in enumerate(val_loader):
+            ls, nn = eval_step(
+                state.params, shard_batch(batch, mesh), jax.random.key(10_000_000 + vi)
+            )
+            sum_loss += float(ls)
+            sum_n += float(nn)
+        avg = sum_loss / max(sum_n, 1.0)
+        scheduler.step(avg)
+        logger.info("[Validate] Iter %05d | Loss %.6f" % (it, avg))
+        if use_wandb:
+            import wandb
+
+            wandb.log({"val/loss": avg}, step=it)
+        return avg
+
+    key = jax.random.key(config.train.seed + 1)
+    loss_sum = n_sum = grad_norm_sum = 0.0
+    best_loss = float("inf")
+    try:
+        for it in range(start_iter, config.train.max_iters + 1):
+            batch = shard_batch(next(train_iter), mesh)
+            key, k = jax.random.split(key)
+            state, metrics = train_step(state, batch, k, scheduler.lr)
+            loss_sum += float(metrics["loss_sum"])
+            n_sum += float(metrics["n_nodes"])
+            grad_norm_sum += float(metrics["grad_norm"])
+            if it % config.train.val_freq == 0 or it == config.train.max_iters:
+                logger.info(
+                    "[Train] Iter %05d | Loss %.2f | Grad %.2f | LR %.6f"
+                    % (it, loss_sum / max(n_sum, 1), grad_norm_sum / config.train.val_freq, scheduler.lr)
+                )
+                if use_wandb:
+                    import wandb
+
+                    wandb.log(
+                        {
+                            "train/loss": loss_sum / max(n_sum, 1),
+                            "train/lr": scheduler.lr,
+                            "train/grad_norm": grad_norm_sum / config.train.val_freq,
+                        },
+                        step=it,
+                    )
+                loss_sum = n_sum = grad_norm_sum = 0.0
+                avg_val_loss = validate(it)
+                if avg_val_loss < best_loss:
+                    best_loss = avg_val_loss
+                    save_checkpoint(
+                        os.path.join(ckpt_dir, f"{it}.ckpt"),
+                        config,
+                        jax.device_get(state),
+                        scheduler.state_dict(),
+                        iteration=it,
+                        avg_val_loss=avg_val_loss,
+                    )
+                    logger.info(f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})")
+    except KeyboardInterrupt:
+        logger.info("Terminating...")
+
+    return log_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,43 @@ def extend_condensed_graph_edge(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StaticPairs:
+    """Position-INDEPENDENT pair structures, hoistable out of the sampling loop.
+
+    The typed higher-order extension depends only on the 2D bond graph; only
+    the radius mask involves coordinates.  The reference rebuilds everything
+    from scratch inside every forward (all 5000 steps x 8 members,
+    reference condensenc.py:201-206) — here the adjacency matmuls run ONCE
+    per batch and each scan step only thresholds a distance matrix.
+
+    ``*_in`` is the encoder edge set (``edge_order``); ``*_out`` the output
+    head's (``pred_edge_order``).  With equal orders they alias.
+    """
+
+    mask_local_in: jax.Array
+    type_r_in: jax.Array
+    type_p_in: jax.Array
+    mask_local_out: jax.Array
+    type_r_out: jax.Array
+    type_p_out: jax.Array
+
+
+def precompute_static_pairs(
+    bond_mat: jax.Array,
+    node_mask: jax.Array,
+    edge_order: int,
+    pred_edge_order: int,
+) -> StaticPairs:
+    m_in, tr_in, tp_in = extend_ts_graph(bond_mat, node_mask, edge_order)
+    if pred_edge_order == edge_order:
+        m_out, tr_out, tp_out = m_in, tr_in, tp_in
+    else:
+        m_out, tr_out, tp_out = extend_ts_graph(bond_mat, node_mask, pred_edge_order)
+    return StaticPairs(m_in, tr_in, tp_in, m_out, tr_out, tp_out)
+
+
 def extend_graph_order(
     type_mat: jax.Array, node_mask: jax.Array, order: int
 ) -> tuple[jax.Array, jax.Array]:

@@ -2,20 +2,19 @@
 
 The reference's ``EnsembleSampler`` loops over 8 trained models sequentially
 and averages the per-edge score (reference models/sampler.py:95-111) — 8
-kernel launches per step.  TPU-native: stack the 8 parameter pytrees along a
-leading axis and ``vmap`` the forward, so the ensemble becomes one batched
-program (the member axis fuses into the batched matmuls); the mean-reduction
-over members happens on-chip.  With a mesh, the member axis can instead be
-sharded across devices (see tsdiff_tpu/train/sharding.py).
+kernel launches per step, each rebuilding the graph.  TPU-native:
 
-Like the reference (which reuses member 0's edge_index for all members,
-reference sampler.py:103 — valid because graph construction is deterministic
-given identical inputs), the edge set is computed once.
+  * the 8 parameter pytrees are stacked along a leading axis and the forward
+    is ``vmap``ed — one batched program whose member axis fuses into the
+    batched matmuls (or shards over an ``ens`` mesh axis);
+  * graph construction is hoisted: the position-independent typed extension
+    (``StaticPairs``) is computed once per batch at closure-build time, and
+    the per-step radius mask + distances are computed once OUTSIDE the member
+    vmap (they are member-invariant, as the reference itself exploits by
+    reusing member 0's edge_index, reference sampler.py:103).
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +29,11 @@ def stack_params(params_list: list) -> dict:
 
 
 def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
-    """Single-model score function closed over the static graph inputs."""
+    """Single-model score function with hoisted static graph structures."""
+    static = model.precompute_pairs(batch.bond_mat, batch.node_mask)
 
     def score(pos: jax.Array):
+        pair_info = model.build_pair_info(pos, batch.node_mask, static)
         edge_inv, edges, d = model.apply(
             params,
             batch.atom_type,
@@ -41,6 +42,7 @@ def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
             pos,
             batch.bond_mat,
             batch.node_mask,
+            pair_info=pair_info,
         )
         return edge_inv, edges.mask_global, d
 
@@ -49,10 +51,14 @@ def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
 
 def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> ScoreFn:
     """Mean-of-members score (reference models/sampler.py:95-111) via vmap."""
+    static = model.precompute_pairs(batch.bond_mat, batch.node_mask)
 
     def score(pos: jax.Array):
+        pair_info = model.build_pair_info(pos, batch.node_mask, static)
+        _, _, edges_out, d_out = pair_info
+
         def member(p):
-            edge_inv, edges, d = model.apply(
+            edge_inv, _, _ = model.apply(
                 p,
                 batch.atom_type,
                 batch.r_feat,
@@ -60,10 +66,11 @@ def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> Score
                 pos,
                 batch.bond_mat,
                 batch.node_mask,
+                pair_info=pair_info,
             )
-            return edge_inv, edges.mask_global, d
+            return edge_inv
 
-        edge_inv_m, emask_m, d_m = jax.vmap(member)(stacked_params)
-        return jnp.mean(edge_inv_m, axis=0), emask_m[0], d_m[0]
+        edge_inv_m = jax.vmap(member)(stacked_params)
+        return jnp.mean(edge_inv_m, axis=0), edges_out.mask_global, d_out
 
     return score

@@ -32,8 +32,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import dataclasses
+
 from tsdiff_tpu.core.geometry import pairwise_distance
-from tsdiff_tpu.core.graph_ops import GraphEdges, extend_ts_graph, radius_edge_mask
+from tsdiff_tpu.core.graph_ops import (
+    GraphEdges,
+    StaticPairs,
+    precompute_static_pairs,
+    radius_edge_mask,
+)
 from tsdiff_tpu.models.activations import activation_loader
 from tsdiff_tpu.models.edge import GaussianSmearingEdgeEncoder, MLPEdgeEncoder
 from tsdiff_tpu.models.mlp import MLP, TorchLinear
@@ -135,17 +142,40 @@ class CondenseEncoderEpsNetwork(nn.Module):
             dtype=self.dtype,
         )
 
-    def _edges(self, bond_mat, pos, node_mask, order) -> GraphEdges:
-        """Condensed graph extension on the current coordinates
-        (reference condensenc.py:117-154, semantics in core/graph_ops.py)."""
-        mask_local, type_r, type_p = extend_ts_graph(bond_mat, node_mask, order)
-        mask_radius = radius_edge_mask(pos, node_mask, self.edge_cutoff)
-        return GraphEdges(
-            mask_global=mask_local | mask_radius,
-            mask_local=mask_local,
-            type_r=type_r,
-            type_p=type_p,
+    def precompute_pairs(self, bond_mat, node_mask) -> StaticPairs:
+        """Position-independent edge structures — compute ONCE per batch and
+        pass to ``build_pair_info`` / ``__call__`` so the adjacency matmuls
+        stay out of the sampling scan (see core/graph_ops.StaticPairs)."""
+        return precompute_static_pairs(
+            bond_mat, node_mask, self.edge_order, self.pred_edge_order
         )
+
+    def build_pair_info(
+        self, pos, node_mask, static: StaticPairs
+    ) -> tuple[GraphEdges, jax.Array, GraphEdges, jax.Array]:
+        """Per-step dynamic composition: union the static local sets with the
+        radius mask on the current coordinates, and compute masked distances
+        (reference condensenc.py:117-154 + 201-234).  The output-order
+        distances reuse the input-order ones (the order-3 edge set is a
+        subset of the order-4 set united with the same radius mask)."""
+        mask_radius = radius_edge_mask(pos, node_mask, self.edge_cutoff)
+        edges_in = GraphEdges(
+            mask_global=static.mask_local_in | mask_radius,
+            mask_local=static.mask_local_in,
+            type_r=static.type_r_in,
+            type_p=static.type_p_in,
+        )
+        d_in = pairwise_distance(pos, edges_in.mask_global)
+        if self.pred_edge_order == self.edge_order:
+            return edges_in, d_in, edges_in, d_in
+        edges_out = GraphEdges(
+            mask_global=static.mask_local_out | mask_radius,
+            mask_local=static.mask_local_out,
+            type_r=static.type_r_out,
+            type_p=static.type_p_out,
+        )
+        d_out = jnp.where(edges_out.mask_global, d_in, 1.0)
+        return edges_in, d_in, edges_out, d_out
 
     def _edge_embedding(self, edge_length, type_r, type_p) -> jax.Array:
         """(reference condensenc.py:156-176, emb_type='bond_w_d')."""
@@ -161,10 +191,13 @@ class CondenseEncoderEpsNetwork(nn.Module):
         pos: jax.Array,         # (B, N, 3)
         bond_mat: jax.Array,    # (B, N, N) int condensed types
         node_mask: jax.Array,   # (B, N) bool
+        pair_info=None,         # optional precomputed build_pair_info output
     ) -> tuple[jax.Array, GraphEdges, jax.Array]:
         """Score-network forward (reference condensenc.py:178-239 ``forward_``).
 
-        Returns (edge_inv (B,N,N,1), edges at pred_edge_order, edge_length).
+        Returns (edge_inv (B,N,N,1) float32, edges at pred_edge_order,
+        edge_length float32).  ``pair_info`` lets callers (the sampler,
+        ensembles) hoist graph construction out of scans / member vmaps.
         """
         dt = self.dtype or jnp.float32
         a_emb = self.atom_embedding(atom_type)
@@ -174,19 +207,24 @@ class CondenseEncoderEpsNetwork(nn.Module):
         # zero padded nodes so masked message passing stays exact
         z = z * node_mask[..., None].astype(z.dtype)
 
-        edges = self._edges(bond_mat, pos, node_mask, self.edge_order)
-        d = pairwise_distance(pos, edges.mask_global)
-        edge_attr = self._edge_embedding(d, edges.type_r, edges.type_p)
+        if pair_info is None:
+            pair_info = self.build_pair_info(
+                pos, node_mask, self.precompute_pairs(bond_mat, node_mask)
+            )
+        edges_in, d_in, edges_out, d_out = pair_info
 
-        node_attr = self.encoder(z, edge_attr, d, edges.mask_global)
+        edge_attr = self._edge_embedding(
+            d_in.astype(dt), edges_in.type_r, edges_in.type_p
+        )
+        node_attr = self.encoder(z, edge_attr, d_in, edges_in.mask_global)
 
         if self.pred_edge_order != self.edge_order:
-            edges = self._edges(bond_mat, pos, node_mask, self.pred_edge_order)
-            d = pairwise_distance(pos, edges.mask_global)
-            edge_attr = self._edge_embedding(d, edges.type_r, edges.type_p)
+            edge_attr = self._edge_embedding(
+                d_out.astype(dt), edges_out.type_r, edges_out.type_p
+            )
 
         h_pair = jnp.concatenate(
             [node_attr[:, :, None, :] * node_attr[:, None, :, :], edge_attr], axis=-1
         )  # (B, N, N, 2H) — assemble_atom_pair_feature (reference common.py:226-229)
         edge_inv = self.grad_dist_mlp(h_pair)  # (B, N, N, 1)
-        return edge_inv, edges, d
+        return edge_inv.astype(jnp.float32), edges_out, d_out

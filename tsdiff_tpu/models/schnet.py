@@ -58,8 +58,8 @@ class CFConv(nn.Module):
             c = 0.5 * (jnp.cos(edge_length * jnp.pi / self.cutoff) + 1.0)
             c = c * (edge_length <= self.cutoff) * (edge_length >= 0.0)
         else:
-            c = (edge_length <= self.cutoff).astype(w.dtype)
-        c = c * emask.astype(w.dtype)
+            c = (edge_length <= self.cutoff)
+        c = (c * emask).astype(w.dtype)
         w = w * c[..., None]
 
         h = nn.Dense(
