@@ -107,10 +107,16 @@ def main(argv=None):
     )
     train_iter = inf_iterator(train_loader)
 
-    # Mesh: all local devices data-parallel
+    # Mesh: data-parallel over the largest device count dividing the batch
     n_dev = len(jax.devices())
-    mesh = make_mesh(dp=n_dev, ens=1)
-    logger.info(f"Devices: {n_dev} -> mesh (dp={n_dev}, ens=1)")
+    dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
+    mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
+    logger.info(f"Devices: {n_dev} -> mesh (dp={dp}, ens=1)")
+    if dp < n_dev:
+        logger.warning(
+            f"batch_size {config.train.batch_size} not divisible by {n_dev} "
+            f"devices; using {dp}-way data parallelism"
+        )
 
     # Model / optimizer / schedule
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
