@@ -25,6 +25,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _production_model_config, _random_batch
     from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
@@ -32,14 +33,17 @@ def main():
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
     from tsdiff_tpu.models import get_model
 
-    BATCH = 100          # reference paper-run batch size (sampling.py:84)
-    N_PAD = 24           # wb97xd3 molecules are <= ~23 atoms
-    ENSEMBLE = 8         # 8 trained checkpoints averaged (README.md:77)
-    N_STEPS = 5000       # full reverse diffusion (sampling.py:105)
-    MEASURE_STEPS = 250  # timed sub-scan; per-step cost is constant
+    BATCH = 100     # reference paper-run batch size (sampling.py:84)
+    N_PAD = 24      # wb97xd3 molecules are <= ~23 atoms
+    ENSEMBLE = 8    # 8 trained checkpoints averaged (README.md:77)
+    N_STEPS = 5000  # full reverse diffusion (sampling.py:105)
+    # timed sub-scans: per-step cost is constant, so the difference of two
+    # scan lengths isolates pure step time from dispatch overhead.
+    STEPS_SHORT, STEPS_LONG = 10, 110
 
     cfg = _production_model_config()
-    model = get_model(cfg)
+    # bf16 network compute (f32 schedule math / geometry / update algebra)
+    model = get_model(cfg, dtype=jnp.bfloat16)
     schedule = DiffusionSchedule.from_config(cfg)
     batch = _random_batch(np.random.default_rng(0), batch_size=BATCH, n_pad=N_PAD)
 
@@ -54,7 +58,7 @@ def main():
 
     def run(n_steps: int):
         settings = SamplingSettings(sampling_type="ld", n_steps=n_steps, step_lr=1e-7)
-        return dynamic_sampling(
+        res = dynamic_sampling(
             make_ensemble_score_fn(model, stacked, batch),
             schedule,
             pos_init,
@@ -62,22 +66,29 @@ def main():
             jax.random.key(2),
             settings,
         )
+        # reduce on-device; fetching the scalar forces true host sync
+        # (block_until_ready does not synchronize on tunneled backends)
+        return res.pos.sum(), res.nan_detected
 
     run_j = jax.jit(run, static_argnums=0)
 
-    # compile + warmup
-    r = run_j(MEASURE_STEPS)
-    r.pos.block_until_ready()
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, nan = run_j(n)
+            s = float(s)
+            best = min(best, time.perf_counter() - t0)
+        assert not bool(nan), "NaN during benchmark sampling"
+        return best
 
-    t0 = time.perf_counter()
-    r = run_j(MEASURE_STEPS)
-    r.pos.block_until_ready()
-    dt = time.perf_counter() - t0
-    assert not bool(r.nan_detected), "NaN during benchmark sampling"
+    float(run_j(STEPS_SHORT)[0])  # compile
+    float(run_j(STEPS_LONG)[0])   # compile
+    t_short = timed(STEPS_SHORT)
+    t_long = timed(STEPS_LONG)
 
-    step_time = dt / MEASURE_STEPS
-    t_full = step_time * N_STEPS
-    samples_per_sec = BATCH / t_full
+    step_time = (t_long - t_short) / (STEPS_LONG - STEPS_SHORT)
+    samples_per_sec = BATCH / (step_time * N_STEPS)
 
     baseline = 0.5  # reference GPU samples/s (single ckpt; see module docstring)
     print(

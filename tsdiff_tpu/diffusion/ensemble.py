@@ -2,15 +2,18 @@
 
 The reference's ``EnsembleSampler`` loops over 8 trained models sequentially
 and averages the per-edge score (reference models/sampler.py:95-111) — 8
-kernel launches per step, each rebuilding the graph.  TPU-native:
+kernel launches per step, each rebuilding the full graph and all embeddings.
+TPU-native:
 
   * the 8 parameter pytrees are stacked along a leading axis and the forward
     is ``vmap``ed — one batched program whose member axis fuses into the
     batched matmuls (or shards over an ``ens`` mesh axis);
-  * graph construction is hoisted: the position-independent typed extension
-    (``StaticPairs``) is computed once per batch at closure-build time, and
-    the per-step radius mask + distances are computed once OUTSIDE the member
-    vmap (they are member-invariant, as the reference itself exploits by
+  * ALL position-independent work — node states, typed order extension, bond
+    embeddings (``StaticFeatures``) — is computed once per batch at closure
+    build time; each scan step runs only ``score_step`` (distance masking +
+    distance MLP + SchNet stack + head);
+  * the per-step radius mask / distances are member-invariant and computed
+    once outside the member vmap (the reference itself exploits this by
     reusing member 0's edge_index, reference sampler.py:103).
 """
 
@@ -29,20 +32,20 @@ def stack_params(params_list: list) -> dict:
 
 
 def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
-    """Single-model score function with hoisted static graph structures."""
-    static = model.precompute_pairs(batch.bond_mat, batch.node_mask)
+    """Single-model score function with hoisted static features."""
+    static = model.apply(
+        params,
+        batch.atom_type,
+        batch.r_feat,
+        batch.p_feat,
+        batch.bond_mat,
+        batch.node_mask,
+        method="precompute_static",
+    )
 
     def score(pos: jax.Array):
-        pair_info = model.build_pair_info(pos, batch.node_mask, static)
         edge_inv, edges, d = model.apply(
-            params,
-            batch.atom_type,
-            batch.r_feat,
-            batch.p_feat,
-            pos,
-            batch.bond_mat,
-            batch.node_mask,
-            pair_info=pair_info,
+            params, pos, batch.node_mask, static, method="score_step"
         )
         return edge_inv, edges.mask_global, d
 
@@ -51,26 +54,24 @@ def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
 
 def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> ScoreFn:
     """Mean-of-members score (reference models/sampler.py:95-111) via vmap."""
-    static = model.precompute_pairs(batch.bond_mat, batch.node_mask)
+    statics = jax.vmap(
+        lambda p: model.apply(
+            p,
+            batch.atom_type,
+            batch.r_feat,
+            batch.p_feat,
+            batch.bond_mat,
+            batch.node_mask,
+            method="precompute_static",
+        )
+    )(stacked_params)
 
     def score(pos: jax.Array):
-        pair_info = model.build_pair_info(pos, batch.node_mask, static)
-        _, _, edges_out, d_out = pair_info
+        def member(p, st):
+            return model.apply(p, pos, batch.node_mask, st, method="score_step")
 
-        def member(p):
-            edge_inv, _, _ = model.apply(
-                p,
-                batch.atom_type,
-                batch.r_feat,
-                batch.p_feat,
-                pos,
-                batch.bond_mat,
-                batch.node_mask,
-                pair_info=pair_info,
-            )
-            return edge_inv
-
-        edge_inv_m = jax.vmap(member)(stacked_params)
-        return jnp.mean(edge_inv_m, axis=0), edges_out.mask_global, d_out
+        edge_inv_m, edges_m, d_m = jax.vmap(member)(stacked_params, statics)
+        edges0 = jax.tree_util.tree_map(lambda x: x[0], edges_m)
+        return jnp.mean(edge_inv_m, axis=0), edges0.mask_global, d_m[0]
 
     return score

@@ -49,6 +49,23 @@ from tsdiff_tpu.models.schnet import SchNetEncoder
 NUM_ATOM_TYPES = 100  # atomic-number embedding table size (reference condensenc.py:58)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StaticFeatures:
+    """Position-INDEPENDENT features of a batch, constant across all sampling
+    steps: the condensed node states and the bond-type embeddings of both
+    edge orders.  Computing these once per batch (instead of at all 5000
+    steps x 8 members, as the reference effectively does) removes the atom /
+    bond embedding gathers and the node-state MLPs from the hot loop."""
+
+    z: jax.Array          # (B, N, H) node states
+    pairs: StaticPairs    # typed order-extension structures
+    emb_r_in: jax.Array   # (B, N, N, H) bond embeddings, encoder edge order
+    emb_p_in: jax.Array
+    emb_r_out: jax.Array  # (B, N, N, H) at the output-head edge order
+    emb_p_out: jax.Array
+
+
 class EdgeCat(nn.Module):
     """2-layer fusion MLP for the concatenated R/P edge embeddings
     (reference condensenc.py:105-115)."""
@@ -183,6 +200,77 @@ class CondenseEncoderEpsNetwork(nn.Module):
         attr_p = self.edge_enc(edge_length[..., None], type_p)
         return self.edge_cat(jnp.concatenate([attr_r, attr_p], axis=-1))
 
+    def precompute_static(
+        self,
+        atom_type: jax.Array,
+        r_feat: jax.Array,
+        p_feat: jax.Array,
+        bond_mat: jax.Array,
+        node_mask: jax.Array,
+    ) -> StaticFeatures:
+        """All position-independent work, hoistable out of the sampling scan.
+
+        Call as ``model.apply(params, ..., method="precompute_static")``.
+        """
+        dt = self.dtype or jnp.float32
+        a_emb = self.atom_embedding(atom_type)
+        af_r = self.atom_feat_embedding(r_feat.astype(dt))
+        af_p = self.atom_feat_embedding(p_feat.astype(dt))
+        z = jnp.concatenate([a_emb + af_r, af_p - af_r], axis=-1)
+        z = z * node_mask[..., None].astype(z.dtype)
+
+        pairs = self.precompute_pairs(bond_mat, node_mask)
+        emb = self.edge_enc.bond_embedding
+        return StaticFeatures(
+            z=z,
+            pairs=pairs,
+            emb_r_in=emb(pairs.type_r_in),
+            emb_p_in=emb(pairs.type_p_in),
+            emb_r_out=emb(pairs.type_r_out),
+            emb_p_out=emb(pairs.type_p_out),
+        )
+
+    def score_step(
+        self, pos: jax.Array, node_mask: jax.Array, static: StaticFeatures
+    ) -> tuple[jax.Array, GraphEdges, jax.Array]:
+        """Position-dependent part of the forward — the per-sampling-step work.
+
+        Numerically identical to ``__call__`` given the same inputs: the
+        distance MLP is evaluated once on the encoder-order distances and
+        shared with the output stage (the order-3 global edge set is a subset
+        of the order-4 one, so all surviving pairs carry identical distances;
+        non-surviving pairs are masked downstream by CFConv's edge mask and
+        eq_transform's score mask).
+        """
+        dt = self.dtype or jnp.float32
+        edges_in, d_in, edges_out, d_out = self.build_pair_info(
+            pos, node_mask, static.pairs
+        )
+
+        d_emb = self.edge_enc.d_embedding(d_in.astype(dt)[..., None])
+        combine = self.edge_enc.combine
+        edge_attr = self.edge_cat(
+            jnp.concatenate(
+                [combine(d_emb, static.emb_r_in), combine(d_emb, static.emb_p_in)],
+                axis=-1,
+            )
+        )
+        node_attr = self.encoder(static.z, edge_attr, d_in, edges_in.mask_global)
+
+        if self.pred_edge_order != self.edge_order:
+            edge_attr = self.edge_cat(
+                jnp.concatenate(
+                    [combine(d_emb, static.emb_r_out), combine(d_emb, static.emb_p_out)],
+                    axis=-1,
+                )
+            )
+
+        h_pair = jnp.concatenate(
+            [node_attr[:, :, None, :] * node_attr[:, None, :, :], edge_attr], axis=-1
+        )
+        edge_inv = self.grad_dist_mlp(h_pair)
+        return edge_inv.astype(jnp.float32), edges_out, d_out
+
     def __call__(
         self,
         atom_type: jax.Array,   # (B, N) int
@@ -196,35 +284,12 @@ class CondenseEncoderEpsNetwork(nn.Module):
         """Score-network forward (reference condensenc.py:178-239 ``forward_``).
 
         Returns (edge_inv (B,N,N,1) float32, edges at pred_edge_order,
-        edge_length float32).  ``pair_info`` lets callers (the sampler,
-        ensembles) hoist graph construction out of scans / member vmaps.
+        edge_length float32).  Composition of ``precompute_static`` (position-
+        independent) and ``score_step`` (per-coordinate) — samplers call the
+        two parts separately to hoist the static work out of the scan.
+        ``pair_info`` is accepted for API compatibility and ignored (the
+        static path recomputes the same structures).
         """
-        dt = self.dtype or jnp.float32
-        a_emb = self.atom_embedding(atom_type)
-        af_r = self.atom_feat_embedding(r_feat.astype(dt))
-        af_p = self.atom_feat_embedding(p_feat.astype(dt))
-        z = jnp.concatenate([a_emb + af_r, af_p - af_r], axis=-1)
-        # zero padded nodes so masked message passing stays exact
-        z = z * node_mask[..., None].astype(z.dtype)
-
-        if pair_info is None:
-            pair_info = self.build_pair_info(
-                pos, node_mask, self.precompute_pairs(bond_mat, node_mask)
-            )
-        edges_in, d_in, edges_out, d_out = pair_info
-
-        edge_attr = self._edge_embedding(
-            d_in.astype(dt), edges_in.type_r, edges_in.type_p
-        )
-        node_attr = self.encoder(z, edge_attr, d_in, edges_in.mask_global)
-
-        if self.pred_edge_order != self.edge_order:
-            edge_attr = self._edge_embedding(
-                d_out.astype(dt), edges_out.type_r, edges_out.type_p
-            )
-
-        h_pair = jnp.concatenate(
-            [node_attr[:, :, None, :] * node_attr[:, None, :, :], edge_attr], axis=-1
-        )  # (B, N, N, 2H) — assemble_atom_pair_feature (reference common.py:226-229)
-        edge_inv = self.grad_dist_mlp(h_pair)  # (B, N, N, 1)
-        return edge_inv.astype(jnp.float32), edges_out, d_out
+        del pair_info
+        static = self.precompute_static(atom_type, r_feat, p_feat, bond_mat, node_mask)
+        return self.score_step(pos, node_mask, static)

@@ -24,6 +24,12 @@ class MLPEdgeEncoder(nn.Module):
 
     Inputs: edge_length (B,N,N,1) float, edge_type (B,N,N) int.
     Output: (B,N,N,H).
+
+    Exposes the factorization explicitly (``d_embedding`` / ``bond_embedding``
+    / ``combine``) so callers can hoist the position-INDEPENDENT bond
+    embeddings out of the sampling loop and share the position-dependent
+    distance MLP between the order-4 and order-3 stages (the distances are
+    identical on all surviving pairs; masked pairs never escape downstream).
     """
 
     hidden_dim: int = 100
@@ -34,22 +40,30 @@ class MLPEdgeEncoder(nn.Module):
     def out_channels(self) -> int:
         return self.hidden_dim
 
-    @nn.compact
-    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
-        d_emb = MLP(
+    def setup(self):
+        self.mlp = MLP(
             [self.hidden_dim, self.hidden_dim],
             activation=self.activation,
             dtype=self.dtype,
-            name="mlp",
-        )(edge_length)
-        bond = nn.Embed(
+        )
+        self.bond_emb = nn.Embed(
             NUM_EDGE_TYPES,
             self.hidden_dim,
             embedding_init=jax.nn.initializers.normal(1.0),  # torch Embedding default
             dtype=self.dtype,
-            name="bond_emb",
-        )(edge_type)
+        )
+
+    def d_embedding(self, edge_length: jax.Array) -> jax.Array:
+        return self.mlp(edge_length)
+
+    def bond_embedding(self, edge_type: jax.Array) -> jax.Array:
+        return self.bond_emb(edge_type)
+
+    def combine(self, d_emb: jax.Array, bond: jax.Array) -> jax.Array:
         return d_emb * bond
+
+    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
+        return self.combine(self.d_embedding(edge_length), self.bond_embedding(edge_type))
 
 
 class GaussianSmearing(nn.Module):
@@ -82,19 +96,26 @@ class GaussianSmearingEdgeEncoder(nn.Module):
     def out_channels(self) -> int:
         return self.num_gaussians * 2
 
-    @nn.compact
-    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
-        rbf = GaussianSmearing(0.0, self.cutoff * 2, self.num_gaussians, name="rbf")(
-            edge_length[..., 0]
-        )
-        bond = nn.Embed(
+    def setup(self):
+        self.rbf = GaussianSmearing(0.0, self.cutoff * 2, self.num_gaussians)
+        self.bond_emb = nn.Embed(
             NUM_EDGE_TYPES,
             self.num_gaussians,
             embedding_init=jax.nn.initializers.normal(1.0),
             dtype=self.dtype,
-            name="bond_emb",
-        )(edge_type)
-        return jnp.concatenate([rbf, bond], axis=-1)
+        )
+
+    def d_embedding(self, edge_length: jax.Array) -> jax.Array:
+        return self.rbf(edge_length[..., 0])
+
+    def bond_embedding(self, edge_type: jax.Array) -> jax.Array:
+        return self.bond_emb(edge_type)
+
+    def combine(self, d_emb: jax.Array, bond: jax.Array) -> jax.Array:
+        return jnp.concatenate([d_emb, bond], axis=-1)
+
+    def __call__(self, edge_length: jax.Array, edge_type: jax.Array) -> jax.Array:
+        return self.combine(self.d_embedding(edge_length), self.bond_embedding(edge_type))
 
 
 def get_edge_encoder(config, dtype=None) -> nn.Module:
