@@ -117,6 +117,7 @@ class SchNetEncoder(nn.Module):
     num_interactions: int = 6
     cutoff: float = 10.0
     smooth: bool = False
+    embedding: bool = False  # internal atom embedding (dualenc legacy path)
     dtype: jax.typing.DTypeLike | None = None
 
     @classmethod
@@ -134,12 +135,30 @@ class SchNetEncoder(nn.Module):
     @nn.compact
     def __call__(
         self,
-        z: jax.Array,          # (B, N, H) node states
+        z: jax.Array,          # (B, N, H) node states, or (B, N) int atom types
         edge_attr: jax.Array,  # (B, N, N, H)
         edge_length: jax.Array,
         emask: jax.Array,
+        node_mask: jax.Array | None = None,
     ) -> jax.Array:
-        h = z
+        if self.embedding and z.ndim == 2:
+            # internal Embedding(100, H, max_norm=10) of the legacy path
+            # (reference schnet.py:151-152); torch's max_norm renormalizes
+            # looked-up rows to L2 norm <= 10 — functionally a clip at lookup.
+            emb = nn.Embed(
+                100,
+                self.hidden_channels,
+                embedding_init=jax.nn.initializers.normal(1.0),
+                dtype=self.dtype,
+                name="node_emb",
+            )(z)
+            norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
+            emb = emb * jnp.minimum(1.0, 10.0 / jnp.maximum(norm, 1e-12)).astype(emb.dtype)
+            h = emb
+            if node_mask is not None:
+                h = h * node_mask[..., None].astype(h.dtype)
+        else:
+            h = z
         for i in range(self.num_interactions):
             h = h + InteractionBlock(
                 self.hidden_channels,
