@@ -69,8 +69,25 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
     ``p_feat (n,F)``, ``pos (n,3)`` and either ``bond_mat (n,n)`` or sparse
     ``edge_index (2,E)`` + ``edge_type (E,)`` (the reference's on-disk form,
     reference utils/datasets.py:509-518).
+
+    Uses the native C++ packer (native/graphbuild.cpp) when available; the
+    numpy fallback below is semantically identical (tests/test_native.py).
     """
     n_max = max_nodes or max(int(g["atom_type"].shape[0]) for g in graphs)
+
+    from tsdiff_tpu.data.native import pack_batch_native
+
+    packed = pack_batch_native(graphs, n_max)
+    if packed is not None:
+        atom_type, r_feat, p_feat, pos, bond_mat, node_mask = packed
+        return ReactionBatch(
+            atom_type=jnp.asarray(atom_type),
+            r_feat=jnp.asarray(r_feat),
+            p_feat=jnp.asarray(p_feat),
+            pos=jnp.asarray(pos),
+            bond_mat=jnp.asarray(bond_mat),
+            node_mask=jnp.asarray(node_mask),
+        )
     B = len(graphs)
     feat_dim = int(graphs[0]["r_feat"].shape[-1])
 
