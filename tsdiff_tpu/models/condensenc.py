@@ -94,6 +94,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
     num_convs: int = 7
     cutoff: float = 10.0
     smooth_conv: bool = False
+    use_pallas: bool = False  # fused interaction-stack kernel (inference path)
     dtype: jax.typing.DTypeLike | None = None
 
     @classmethod
@@ -114,6 +115,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
             num_convs=enc.num_convs,
             cutoff=enc.cutoff,
             smooth_conv=enc.smooth_conv,
+            use_pallas=config.get("use_pallas", False),
             dtype=dtype,
         )
 
@@ -151,6 +153,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
             num_interactions=self.num_convs,
             cutoff=self.cutoff,
             smooth=self.smooth_conv,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         self.grad_dist_mlp = MLP(
