@@ -46,6 +46,7 @@ def main(argv=None):
         TrainState,
         get_checkpoint_path,
         init_train_state,
+        init_model_params,
         load_checkpoint,
         make_eval_step,
         make_mesh,
@@ -130,11 +131,7 @@ def main(argv=None):
     scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
 
     probe = next(iter(train_loader))
-    params = model.init(
-        jax.random.key(config.train.seed),
-        probe.atom_type, probe.r_feat, probe.p_feat,
-        probe.pos, probe.bond_mat, probe.node_mask,
-    )
+    params = init_model_params(model, jax.random.key(config.train.seed), probe)
     state = init_train_state(model, tx, params)
     start_iter = 1
 

@@ -34,7 +34,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tsdiff_tpu.models.activations import shifted_softplus
+_LOG2 = 0.6931471805599453
+
+
+def _ssp(x: jax.Array) -> jax.Array:
+    """shifted_softplus with an explicitly stable f32 formulation.
+
+    jax.nn.softplus lowers with NaN-propagation comparisons that Mosaic does
+    not support on bf16 vectors ("Target does not support this comparison");
+    max(x,0) + log1p(exp(-|x|)) is the same stable softplus without them, and
+    evaluating in f32 matches the XLA path's accumulation behavior.
+    """
+    xf = x.astype(jnp.float32)
+    out = jnp.maximum(xf, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(xf))) - _LOG2
+    return out.astype(x.dtype)
 
 
 def _stack_kernel(
@@ -59,7 +72,7 @@ def _stack_kernel(
             jnp.dot(ea, f1w_ref[l], preferred_element_type=jnp.float32)
             + f1b_ref[l]
         ).astype(ea.dtype)
-        w = shifted_softplus(w)
+        w = _ssp(w)
         w = (
             jnp.dot(w, f2w_ref[l], preferred_element_type=jnp.float32)
             + f2b_ref[l]
@@ -78,7 +91,7 @@ def _stack_kernel(
             + l2b_ref[l]
         ).astype(h.dtype)
         block = (
-            jnp.dot(shifted_softplus(conv), ow_ref[l], preferred_element_type=jnp.float32)
+            jnp.dot(_ssp(conv), ow_ref[l], preferred_element_type=jnp.float32)
             + ob_ref[l]
         ).astype(h.dtype)
         h = h + block

@@ -8,6 +8,7 @@ from tsdiff_tpu.train.sharding import (  # noqa: F401
 from tsdiff_tpu.train.trainer import (  # noqa: F401
     TrainState,
     get_checkpoint_path,
+    init_model_params,
     init_train_state,
     load_checkpoint,
     make_eval_step,

@@ -54,12 +54,60 @@ def init_train_state(model, tx, params) -> TrainState:
     )
 
 
+def init_model_params(model, key, batch: ReactionBatch):
+    """Initialize parameters for any model family from a probe batch."""
+    from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
+
+    if isinstance(model, DualEncoderEpsNetwork):
+        t = jnp.zeros((batch.batch_size,), jnp.int32)
+        return model.init(
+            key, batch.atom_type, batch.pos, batch.bond_mat, batch.node_mask,
+            time_step=t,
+        )
+    return model.init(
+        key,
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+
+
+def get_objective(model, schedule: DiffusionSchedule | None, t0: int = 0, t1: int | None = None):
+    """Loss dispatcher over model families (reference get_loss dispatch,
+    condensenc.py:267 / dualenc.py:376-423):
+
+      * CondenseEncoderEpsNetwork -> DDPM diffusion_loss;
+      * DualEncoderEpsNetwork     -> dual_diffusion_loss or dual_dsm_loss
+                                     by ``model_type``.
+    Returns fn(params, batch, key) -> (loss, aux).
+    """
+    from tsdiff_tpu.models.condensenc import CondenseEncoderEpsNetwork
+    from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
+
+    if isinstance(model, CondenseEncoderEpsNetwork):
+        return lambda p, batch, key: diffusion_loss(
+            model, p, schedule, batch, key, t0=t0, t1=t1
+        )
+    if isinstance(model, DualEncoderEpsNetwork):
+        from tsdiff_tpu.diffusion.dual_objective import (
+            dual_diffusion_loss,
+            dual_dsm_loss,
+        )
+
+        if model.model_type == "diffusion":
+            return lambda p, batch, key: dual_diffusion_loss(
+                model, p, schedule, batch, key
+            )
+        return lambda p, batch, key: dual_dsm_loss(model, p, batch, key)
+    raise NotImplementedError(f"No objective for {type(model).__name__}")
+
+
 def make_train_step(model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
     """Returns jitted (state, batch, key, lr) -> (state, metrics)."""
+    objective = get_objective(model, schedule, t0=t0, t1=t1)
 
     def train_step(state: TrainState, batch: ReactionBatch, key, lr):
         def loss_fn(p):
-            return diffusion_loss(model, p, schedule, batch, key, t0=t0, t1=t1)
+            return objective(p, batch, key)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
@@ -80,9 +128,10 @@ def make_train_step(model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int
 def make_eval_step(model, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
     """Jitted validation step: per-batch (loss_sum, n_nodes) so the caller can
     average over the full set (reference train.py:154-174)."""
+    objective = get_objective(model, schedule, t0=t0, t1=t1)
 
     def eval_step(params, batch: ReactionBatch, key):
-        _, aux = diffusion_loss(model, params, schedule, batch, key, t0=t0, t1=t1)
+        _, aux = objective(params, batch, key)
         return aux["loss_sum"], aux["n_nodes"]
 
     return jax.jit(eval_step)
