@@ -42,7 +42,9 @@ def main():
     STEPS_SHORT, STEPS_LONG = 10, 110
 
     cfg = _production_model_config()
-    # bf16 network compute (f32 schedule math / geometry / update algebra)
+    # bf16 network compute (f32 schedule math / geometry / update algebra),
+    # fused Pallas interaction stack
+    cfg.use_pallas = True
     model = get_model(cfg, dtype=jnp.bfloat16)
     schedule = DiffusionSchedule.from_config(cfg)
     batch = _random_batch(np.random.default_rng(0), batch_size=BATCH, n_pad=N_PAD)

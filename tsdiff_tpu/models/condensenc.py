@@ -94,7 +94,8 @@ class CondenseEncoderEpsNetwork(nn.Module):
     num_convs: int = 7
     cutoff: float = 10.0
     smooth_conv: bool = False
-    use_pallas: bool = False  # fused interaction-stack kernel (inference path)
+    use_pallas: bool = False   # fused interaction-stack kernel (inference path)
+    fused_score: bool = False  # fully-fused score_step kernel (sampling path)
     dtype: jax.typing.DTypeLike | None = None
 
     @classmethod
@@ -116,6 +117,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
             cutoff=enc.cutoff,
             smooth_conv=enc.smooth_conv,
             use_pallas=config.get("use_pallas", False),
+            fused_score=config.get("fused_score", False),
             dtype=dtype,
         )
 
@@ -249,6 +251,34 @@ class CondenseEncoderEpsNetwork(nn.Module):
         edges_in, d_in, edges_out, d_out = self.build_pair_info(
             pos, node_mask, static.pairs
         )
+
+        if self.fused_score:
+            # fully-fused Pallas path (sampling): everything after the
+            # distance/mask computation runs in one kernel.
+            assert self.edge_encoder == "mlp", "fused_score requires the MLP edge encoder"
+            assert not self.smooth_conv, "fused_score requires the hard cutoff"
+            assert self.mlp_act == "swish" and self.edge_cat_act == "swish"
+            from tsdiff_tpu.ops.pallas.condensed_score import (
+                condensed_score_pallas,
+                extract_weights,
+            )
+
+            cmask = (
+                (d_in <= self.cutoff) & edges_in.mask_global
+            ).astype(jnp.float32)
+            edge_inv = condensed_score_pallas(
+                extract_weights(self.variables),
+                static.z,
+                d_in,
+                cmask,
+                static.emb_r_in,
+                static.emb_p_in,
+                static.emb_r_out,
+                static.emb_p_out,
+                num_blocks=self.num_convs,
+                dtype=dt,
+            )
+            return edge_inv, edges_out, d_out
 
         d_emb = self.edge_enc.d_embedding(d_in.astype(dt)[..., None])
         combine = self.edge_enc.combine
