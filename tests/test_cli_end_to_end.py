@@ -126,6 +126,16 @@ def test_train_sample_cluster(workspace):
     assert glob.glob(os.path.join(save_dir, "cluster_*.xyz"))
 
 
+def test_evaluate_cli(workspace):
+    from tsdiff_tpu.cli import evaluate as evaluate_cli
+
+    root = workspace
+    out = str(root / "gen" / "samples_all.pkl")
+    stats = evaluate_cli.main(["--samples", out])
+    assert len(stats["dmae"]) == 6
+    assert np.isfinite(stats["dmae"]).all()
+
+
 def test_sampling_from_ts_guess(workspace):
     from tsdiff_tpu.cli import sampling as sampling_cli
 

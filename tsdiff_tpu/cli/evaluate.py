@@ -1,0 +1,78 @@
+"""Evaluation CLI: D-MAE of generated TS geometries against references.
+
+The paper's gating metric (SURVEY.md §6): mean absolute difference of
+interatomic distance matrices under the best graph-automorphism match,
+between each generated geometry (``pos_gen``) and its reference TS
+(``pos``).  Also reports the COV/MAT conformer metrics when samples carry
+multi-conformer ``pos_ref`` stacks (GeoDiff-legacy evaluation).
+
+Usage:
+    python -m tsdiff_tpu.cli.evaluate --samples generated/samples_all.pkl \
+        [--thresholds 0.1 0.2 0.3] [--no-automorphisms] [--covmat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--samples", type=str, required=True)
+    parser.add_argument("--thresholds", type=float, nargs="+", default=[0.1, 0.2, 0.3])
+    parser.add_argument("--no-automorphisms", action="store_true")
+    parser.add_argument("--covmat", action="store_true",
+                        help="run the COV/MAT conformer-ensemble evaluator")
+    parser.add_argument("--out", type=str, default=None, help="write stats pickle here")
+    args = parser.parse_args(argv)
+
+    from tsdiff_tpu.eval.dmae import dmae_for_graph
+
+    with open(args.samples, "rb") as f:
+        samples = pickle.load(f)
+
+    dmaes = []
+    skipped = 0
+    for g in samples:
+        if "pos_gen" not in g or g.get("pos") is None or not np.any(g["pos"]):
+            skipped += 1
+            continue
+        pos_gen = np.asarray(g["pos_gen"])
+        if pos_gen.ndim == 3:  # trajectory: final frame
+            pos_gen = pos_gen[-1]
+        dmaes.append(
+            dmae_for_graph(g, pos_gen, use_automorphisms=not args.no_automorphisms)
+        )
+    dmaes = np.asarray(dmaes)
+
+    print(f"{len(dmaes)} samples evaluated ({skipped} skipped, no reference pos)")
+    if len(dmaes):
+        print(f"D-MAE  mean {dmaes.mean():.4f} | median {np.median(dmaes):.4f} | "
+              f"std {dmaes.std():.4f}")
+        for t in args.thresholds:
+            print(f"  fraction with D-MAE <= {t:.2f}: {(dmaes <= t).mean():.3f}")
+
+    stats = {"dmae": dmaes, "thresholds": args.thresholds}
+
+    if args.covmat:
+        from tsdiff_tpu.eval.covmat import CovMatEvaluator, print_covmat_results
+
+        packed = [g for g in samples if "pos_ref" in g and "pos_gen" in g]
+        if packed:
+            res = CovMatEvaluator(num_workers=1)(packed)
+            print_covmat_results(res)
+            stats["covmat"] = res
+        else:
+            print("no multi-conformer samples with pos_ref; skipping COV/MAT")
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(stats, f)
+    return stats
+
+
+if __name__ == "__main__":
+    main()

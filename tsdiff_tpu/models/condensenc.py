@@ -252,9 +252,11 @@ class CondenseEncoderEpsNetwork(nn.Module):
             pos, node_mask, static.pairs
         )
 
-        if self.fused_score:
+        if self.fused_score and not self.is_initializing():
             # fully-fused Pallas path (sampling): everything after the
-            # distance/mask computation runs in one kernel.
+            # distance/mask computation runs in one kernel.  During init the
+            # XLA path below runs instead so every submodule declares its
+            # parameters (the kernel consumes them as raw arrays).
             assert self.edge_encoder == "mlp", "fused_score requires the MLP edge encoder"
             assert not self.smooth_conv, "fused_score requires the hard cutoff"
             assert self.mlp_act == "swish" and self.edge_cat_act == "swish"
