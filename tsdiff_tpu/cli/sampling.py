@@ -66,7 +66,7 @@ def main(argv=None):
 
     from tsdiff_tpu.config import Config
     from tsdiff_tpu.core.graph import from_numpy_graphs
-    from tsdiff_tpu.data import TSDataset, load_dataset
+    from tsdiff_tpu.data import load_dataset
     from tsdiff_tpu.data.dataset import default_buckets, pick_bucket
     from tsdiff_tpu.data.featurize import featurize_smarts_list
     from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params

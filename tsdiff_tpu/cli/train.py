@@ -19,9 +19,6 @@ import glob
 import os
 import shutil
 
-import numpy as np
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config", type=str, help="config yaml, or a log dir to resume")
@@ -38,7 +35,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from tsdiff_tpu.config import load_config, save_config, Config
+    from tsdiff_tpu.config import load_config, Config
     from tsdiff_tpu.data import PaddedBatchLoader, TSDataset, inf_iterator
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
     from tsdiff_tpu.models import get_model

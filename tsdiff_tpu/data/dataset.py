@@ -27,7 +27,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from tsdiff_tpu.core.graph import ReactionBatch, from_numpy_graphs
+from tsdiff_tpu.core.graph import from_numpy_graphs
 
 FORMAT_TAG = "tsdiff_tpu.v1"
 

@@ -15,7 +15,6 @@ tsdiff_tpu/models/dualenc.py).
 
 from __future__ import annotations
 
-import pickle
 from collections import defaultdict
 
 import numpy as np

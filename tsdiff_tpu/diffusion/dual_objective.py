@@ -14,7 +14,6 @@ The update rules themselves are shared with tsdiff_tpu/diffusion/sampler.py.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +21,7 @@ import numpy as np
 
 from tsdiff_tpu.core.geometry import center_pos, clip_norm, eq_transform, pairwise_distance
 from tsdiff_tpu.core.graph import ReactionBatch
-from tsdiff_tpu.diffusion.objective import sample_antithetic_timesteps
-from tsdiff_tpu.diffusion.sampler import SamplingSettings, StepCoeffs, build_step_coeffs
+from tsdiff_tpu.diffusion.sampler import SamplingSettings, build_step_coeffs
 from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
 
 

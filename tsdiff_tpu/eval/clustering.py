@@ -21,7 +21,7 @@ import numpy as np
 from scipy.cluster.hierarchy import fcluster, linkage
 from scipy.spatial.distance import pdist
 
-from tsdiff_tpu.eval.align import position_align, rotate_transform_mirror
+from tsdiff_tpu.eval.align import rotate_transform_mirror
 from tsdiff_tpu.eval.dmae import graph_automorphisms
 
 

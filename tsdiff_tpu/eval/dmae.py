@@ -13,8 +13,6 @@ pure-graph automorphism search over the condensed bond matrix is provided
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 
 

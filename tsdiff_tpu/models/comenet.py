@@ -29,7 +29,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tsdiff_tpu.models.activations import activation_loader
 from tsdiff_tpu.ops.basis import AngleEmb, TorsionEmb
 
 glorot = jax.nn.initializers.glorot_uniform()

@@ -25,7 +25,6 @@ import math
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 import sympy as sym
 
 from tsdiff_tpu.ops.basis import bessel_basis, real_sph_harm, _lambdify

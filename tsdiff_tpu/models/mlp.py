@@ -23,8 +23,6 @@ torch_linear_init = jax.nn.initializers.variance_scaling(
 
 
 def torch_bias_init(key, shape, dtype, fan_in: int):
-    import jax.numpy as jnp
-
     bound = 1.0 / (fan_in**0.5)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
