@@ -1,0 +1,75 @@
+"""Reference checkpoint conversion: state_dict -> flax params roundtrip."""
+
+import numpy as np
+import jax
+
+from tsdiff_tpu.data.convert import condensenc_params_from_state_dict
+from tsdiff_tpu.models import get_model
+
+from test_condensenc import MODEL_CFG, make_batch
+
+
+def params_to_state_dict(params: dict, num_convs: int) -> dict:
+    """Inverse mapping (test-only): flax params -> torch-style state_dict."""
+    p = params["params"]
+    sd = {}
+
+    def put_dense(prefix, d):
+        sd[f"{prefix}.weight"] = np.asarray(d["Dense_0"]["kernel"]).T
+        if "bias" in d["Dense_0"]:
+            sd[f"{prefix}.bias"] = np.asarray(d["Dense_0"]["bias"])
+
+    sd["atom_embedding.weight"] = np.asarray(p["atom_embedding"]["embedding"])
+    sd["atom_feat_embedding.weight"] = np.asarray(
+        p["atom_feat_embedding"]["Dense_0"]["kernel"]
+    ).T
+    sd["edge_encoder.bond_emb.weight"] = np.asarray(p["edge_enc"]["bond_emb"]["embedding"])
+    put_dense("edge_encoder.mlp.layers.0", p["edge_enc"]["mlp"]["layers_0"])
+    put_dense("edge_encoder.mlp.layers.1", p["edge_enc"]["mlp"]["layers_1"])
+    put_dense("edge_cat.0", p["edge_cat"]["lin0"])
+    put_dense("edge_cat.2", p["edge_cat"]["lin1"])
+    st = p["encoder"]["stack"]
+    for l in range(num_convs):
+        sd[f"encoder.interactions.{l}.conv.mlp.0.weight"] = np.asarray(st["f1w"][l]).T
+        sd[f"encoder.interactions.{l}.conv.mlp.0.bias"] = np.asarray(st["f1b"][l])
+        sd[f"encoder.interactions.{l}.conv.mlp.2.weight"] = np.asarray(st["f2w"][l]).T
+        sd[f"encoder.interactions.{l}.conv.mlp.2.bias"] = np.asarray(st["f2b"][l])
+        sd[f"encoder.interactions.{l}.conv.lin1.weight"] = np.asarray(st["l1w"][l]).T
+        sd[f"encoder.interactions.{l}.conv.lin2.weight"] = np.asarray(st["l2w"][l]).T
+        sd[f"encoder.interactions.{l}.conv.lin2.bias"] = np.asarray(st["l2b"][l])
+        sd[f"encoder.interactions.{l}.lin.weight"] = np.asarray(st["ow"][l]).T
+        sd[f"encoder.interactions.{l}.lin.bias"] = np.asarray(st["ob"][l])
+    for i in range(3):
+        put_dense(f"grad_dist_mlp.layers.{i}", p["grad_dist_mlp"][f"layers_{i}"])
+    return sd
+
+
+def test_state_dict_roundtrip_preserves_forward():
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, [5, 8])
+    model = get_model(MODEL_CFG)
+    params = model.init(
+        jax.random.key(0),
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    L = MODEL_CFG.encoder.num_convs
+    sd = params_to_state_dict(params, L)
+    params2 = condensenc_params_from_state_dict(sd, L)
+
+    # tree equality
+    leaves1 = jax.tree_util.tree_leaves_with_path(params)
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(params2))
+    for path, a in leaves1:
+        b = leaves2[path]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(path))
+
+    out1, _, _ = model.apply(
+        params, batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    out2, _, _ = model.apply(
+        params2, batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)

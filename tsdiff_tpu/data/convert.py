@@ -1,0 +1,174 @@
+"""Converters from the reference's on-disk formats.
+
+A user switching from the PyTorch reference brings two kinds of artifacts:
+
+  * trained checkpoints (``<iter>.pt``: {"config", "model": state_dict, ...},
+    reference train.py:220-231) — convert with
+    :func:`convert_reference_checkpoint` (requires torch to unpickle; the
+    state-dict -> flax-param mapping itself is pure numpy and is tested
+    without torch);
+  * PyG dataset pickles (lists of torch_geometric Data) — convert with
+    :func:`convert_reference_dataset` (requires torch_geometric).
+
+Name mapping for CondenseEncoderEpsNetwork (torch Linear weights are
+(out, in) and transpose to jax kernels (in, out)):
+
+  atom_embedding.weight                       -> atom_embedding/embedding
+  atom_feat_embedding.weight                  -> atom_feat_embedding/Dense_0/kernel^T
+  edge_encoder.bond_emb.weight                -> edge_enc/bond_emb/embedding
+  edge_encoder.mlp.layers.{i}.*               -> edge_enc/mlp/layers_{i}/Dense_0/*
+  edge_cat.{0,2}.*                            -> edge_cat/{lin0,lin1}/Dense_0/*
+  encoder.interactions.{l}.conv.mlp.{0,2}.*   -> encoder/stack/{f1,f2}{w,b}[l]
+  encoder.interactions.{l}.conv.lin1.weight   -> encoder/stack/l1w[l]
+  encoder.interactions.{l}.conv.lin2.*        -> encoder/stack/l2{w,b}[l]
+  encoder.interactions.{l}.lin.*              -> encoder/stack/o{w,b}[l]
+  grad_dist_mlp.layers.{i}.*                  -> grad_dist_mlp/layers_{i}/Dense_0/*
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def condensenc_params_from_state_dict(state_dict: dict, num_convs: int) -> dict:
+    """Reference CondenseEncoderEpsNetwork state_dict (numpy arrays) -> flax
+    params pytree matching tsdiff_tpu/models/condensenc.py."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def dense(prefix):
+        out = {"kernel": _t(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return {"Dense_0": out}
+
+    stack = {
+        "f1w": np.stack([_t(sd[f"encoder.interactions.{l}.conv.mlp.0.weight"]) for l in range(num_convs)]),
+        "f1b": np.stack([sd[f"encoder.interactions.{l}.conv.mlp.0.bias"] for l in range(num_convs)]),
+        "f2w": np.stack([_t(sd[f"encoder.interactions.{l}.conv.mlp.2.weight"]) for l in range(num_convs)]),
+        "f2b": np.stack([sd[f"encoder.interactions.{l}.conv.mlp.2.bias"] for l in range(num_convs)]),
+        "l1w": np.stack([_t(sd[f"encoder.interactions.{l}.conv.lin1.weight"]) for l in range(num_convs)]),
+        "l2w": np.stack([_t(sd[f"encoder.interactions.{l}.conv.lin2.weight"]) for l in range(num_convs)]),
+        "l2b": np.stack([sd[f"encoder.interactions.{l}.conv.lin2.bias"] for l in range(num_convs)]),
+        "ow": np.stack([_t(sd[f"encoder.interactions.{l}.lin.weight"]) for l in range(num_convs)]),
+        "ob": np.stack([sd[f"encoder.interactions.{l}.lin.bias"] for l in range(num_convs)]),
+    }
+
+    params = {
+        "atom_embedding": {"embedding": sd["atom_embedding.weight"]},
+        "atom_feat_embedding": {
+            "Dense_0": {"kernel": _t(sd["atom_feat_embedding.weight"])}
+        },
+        "edge_enc": {
+            "bond_emb": {"embedding": sd["edge_encoder.bond_emb.weight"]},
+            "mlp": {
+                "layers_0": dense("edge_encoder.mlp.layers.0"),
+                "layers_1": dense("edge_encoder.mlp.layers.1"),
+            },
+        },
+        "edge_cat": {
+            "lin0": dense("edge_cat.0"),
+            "lin1": dense("edge_cat.2"),
+        },
+        "encoder": {"stack": stack},
+        "grad_dist_mlp": {
+            "layers_0": dense("grad_dist_mlp.layers.0"),
+            "layers_1": dense("grad_dist_mlp.layers.1"),
+            "layers_2": dense("grad_dist_mlp.layers.2"),
+        },
+    }
+    return {"params": params}
+
+
+def convert_reference_checkpoint(pt_path: str, out_path: str | None = None) -> dict:
+    """Load a reference ``<iter>.pt`` and emit a tsdiff_tpu checkpoint dict.
+
+    Requires torch.  The embedded EasyDict config is flattened to plain
+    dicts; betas/alphas buffers are dropped (recomputed from the config).
+    """
+    import pickle as _pickle
+
+    import torch
+
+    class _CompatUnpickler(_pickle.Unpickler):
+        # reference checkpoints embed easydict.EasyDict configs
+        def find_class(self, module, name):
+            if module == "easydict" and name == "EasyDict":
+                return dict
+            return super().find_class(module, name)
+
+    try:
+        ck = torch.load(pt_path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError:
+        with open(pt_path, "rb") as f:
+            ck = torch.load(
+                f, map_location="cpu", pickle_module=type(
+                    "M", (), {"Unpickler": _CompatUnpickler, "load": _pickle.load}
+                ),
+            )
+
+    config = _plain(ck["config"])
+    model_cfg = config["model"]
+    sd = {
+        k: v.numpy() for k, v in ck["model"].items()
+        if not k.startswith(("betas", "alphas"))
+    }
+    params = condensenc_params_from_state_dict(
+        sd, num_convs=model_cfg["encoder"]["num_convs"]
+    )
+    payload = {
+        "format": "tsdiff_tpu.ckpt.v1",
+        "config": config,
+        "params": params,
+        "opt_state": None,
+        "scheduler": None,
+        "iteration": int(ck.get("iteration", 0)),
+        "avg_val_loss": ck.get("avg_val_loss"),
+    }
+    if out_path:
+        with open(out_path, "wb") as f:
+            _pickle.dump(payload, f, protocol=_pickle.HIGHEST_PROTOCOL)
+    return payload
+
+
+def _plain(obj):
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_plain(v) for v in obj)
+    return obj
+
+
+def convert_reference_dataset(pkl_path: str, out_path: str) -> int:
+    """Convert a reference PyG dataset pickle to the tsdiff_tpu format.
+
+    Requires torch_geometric (to unpickle Data objects).  Returns the number
+    of graphs written.
+    """
+    import pickle
+
+    from tsdiff_tpu.data.dataset import save_dataset
+
+    with open(pkl_path, "rb") as f:
+        data_list = pickle.load(f)
+
+    graphs = []
+    for d in data_list:
+        g = dict(
+            atom_type=np.asarray(d.atom_type, dtype=np.int32),
+            r_feat=np.asarray(d.r_feat, dtype=np.float32),
+            p_feat=np.asarray(d.p_feat, dtype=np.float32),
+            pos=np.asarray(d.pos, dtype=np.float32),
+            edge_index=np.asarray(d.edge_index, dtype=np.int32),
+            edge_type=np.asarray(d.edge_type, dtype=np.int32),
+            smiles=getattr(d, "smiles", None),
+        )
+        for opt in ("ts_guess", "pos_r", "pos_p", "pos_gen"):
+            if hasattr(d, opt):
+                g[opt] = np.asarray(getattr(d, opt), dtype=np.float32)
+        graphs.append(g)
+    save_dataset(out_path, graphs)
+    return len(graphs)
