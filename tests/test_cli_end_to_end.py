@@ -126,6 +126,42 @@ def test_train_sample_cluster(workspace):
     assert glob.glob(os.path.join(save_dir, "cluster_*.xyz"))
 
 
+def test_train_cli_dualenc(workspace):
+    """Legacy dual-encoder family trains through the same CLI."""
+    import yaml as _yaml
+
+    from tsdiff_tpu.cli import train as train_cli
+
+    root = workspace
+    cfg = _yaml.safe_load((root / "config.yml").read_text())
+    cfg["model"] = {
+        "type": "diffusion",
+        "network": "dualenc",
+        "TS": True,
+        "hidden_dim": 16,
+        "num_convs": 2,
+        "num_convs_local": 2,
+        "cutoff": 10.0,
+        "mlp_act": "relu",
+        "edge_cat_act": "relu",
+        "beta_schedule": "sigmoid",
+        "beta_start": 1.0e-7,
+        "beta_end": 2.0e-3,
+        "num_diffusion_timesteps": 30,
+        "edge_order": 3,
+        "edge_encoder": "mlp",
+        "smooth_conv": False,
+    }
+    cfg["train"]["max_iters"] = 6
+    cfg["train"]["val_freq"] = 3
+    cfg_path = root / "config_dualenc.yml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    log_dir = train_cli.main(
+        [str(cfg_path), "--logdir", str(root / "logs_dual"), "--profile"]
+    )
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "*.ckpt"))
+
+
 def test_evaluate_cli(workspace):
     from tsdiff_tpu.cli import evaluate as evaluate_cli
 

@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--tag", type=str, default=None)
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--max_iters", type=int, default=None, help="override config max_iters")
+    parser.add_argument("--profile", action="store_true",
+                        help="log per-phase timings; write a jax.profiler device trace")
     args = parser.parse_args(argv)
 
     import jax
@@ -175,14 +177,28 @@ def main(argv=None):
             wandb.log({"val/loss": avg}, step=it)
         return avg
 
+    timer = None
+    if args.profile:
+        from tsdiff_tpu.utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+
     key = jax.random.key(config.train.seed + 1)
     loss_sum = n_sum = grad_norm_sum = 0.0
     best_loss = float("inf")
     try:
         for it in range(start_iter, config.train.max_iters + 1):
-            batch = shard_batch(next(train_iter), mesh)
-            key, k = jax.random.split(key)
-            state, metrics = train_step(state, batch, k, scheduler.lr)
+            if timer is not None:
+                with timer.phase("data"):
+                    batch = shard_batch(next(train_iter), mesh)
+                key, k = jax.random.split(key)
+                with timer.phase("train_step"):
+                    state, metrics = train_step(state, batch, k, scheduler.lr)
+                    metrics = {kk: float(v) for kk, v in metrics.items()}
+            else:
+                batch = shard_batch(next(train_iter), mesh)
+                key, k = jax.random.split(key)
+                state, metrics = train_step(state, batch, k, scheduler.lr)
             loss_sum += float(metrics["loss_sum"])
             n_sum += float(metrics["n_nodes"])
             grad_norm_sum += float(metrics["grad_norm"])
@@ -217,6 +233,9 @@ def main(argv=None):
                     logger.info(f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})")
     except KeyboardInterrupt:
         logger.info("Terminating...")
+
+    if timer is not None:
+        logger.info("Phase timings:\n%s", timer.summary())
 
     return log_dir
 

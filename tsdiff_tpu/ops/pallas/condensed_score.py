@@ -77,15 +77,19 @@ def _score_kernel(
 
     ea = edge_cat(er_in_ref, ep_in_ref)
 
-    # 4. interaction stack (same math as schnet_stack._stack_kernel)
-    for l in range(num_blocks):
+    # 4. interaction stack (same math as schnet_stack._stack_kernel).
+    # fori_loop with dynamic weight-slab indexing keeps the Mosaic program
+    # small (the fully-unrolled variant compiled ~10x slower remotely).
+    def block(l, h):
         w = _ssp((dot(ea, f1w_ref[l]) + f1b_ref[l]).astype(dt))
         w = (dot(w, f2w_ref[l]) + f2b_ref[l]).astype(dt)
         w = w * c
         xh = dot(h, l1w_ref[l]).astype(dt)
         agg = jnp.sum(w.reshape(n, n, -1) * xh[:, None, :], axis=0)
         conv = (dot(agg, l2w_ref[l]) + l2b_ref[l]).astype(dt)
-        h = h + (dot(_ssp(conv), ow_ref[l]) + ob_ref[l]).astype(dt)
+        return h + (dot(_ssp(conv), ow_ref[l]) + ob_ref[l]).astype(dt)
+
+    h = jax.lax.fori_loop(0, num_blocks, block, h)
 
     # 5. out-stage edge attributes (order-3 statics, same d_emb)
     ea_out = edge_cat(er_out_ref, ep_out_ref)
