@@ -166,11 +166,16 @@ def condensed_score_pallas(
         for e in (emb_r_in, emb_p_in, emb_r_out, emb_p_out)
     ]
     w = {k: weights[k].astype(dtype) for k in _W_ORDER}
-    # biases must be >= 1-D rows for VMEM layout
-    for k in ("db0", "db1", "c0b", "c1b", "f1b", "f2b", "l2b", "ob", "g0b", "g1b", "g2b"):
+    # biases: single-layer ones become (1, F) rows; layer-STACKED ones become
+    # (L, 1, F) so the fori_loop's dynamic index lands on the outer
+    # (untiled) dim — Mosaic cannot prove alignment of a dynamic sublane
+    # index on a (L, F) array ("index in dimension 1 is a multiple of 8").
+    for k in ("db0", "db1", "c0b", "c1b", "g0b", "g1b", "g2b"):
         if w[k].ndim == 1:
             w[k] = w[k][None, :]
-    # stacked biases (L, F) -> fine as 2-D already
+    for k in ("f1b", "f2b", "l2b", "ob"):
+        if w[k].ndim == 2:
+            w[k] = w[k][:, None, :]
 
     per_graph = lambda shape: pl.BlockSpec(
         (1, *shape), lambda b: (b, *(0 for _ in shape)), memory_space=pltpu.VMEM
