@@ -43,8 +43,8 @@ def main():
 
     cfg = _production_model_config()
     # bf16 network compute (f32 schedule math / geometry / update algebra),
-    # fused Pallas interaction stack
-    cfg.use_pallas = True
+    # fully-fused Pallas score kernel (edge embed + interaction stack + head)
+    cfg.fused_score = True
     model = get_model(cfg, dtype=jnp.bfloat16)
     schedule = DiffusionSchedule.from_config(cfg)
     batch = _random_batch(np.random.default_rng(0), batch_size=BATCH, n_pad=N_PAD)
