@@ -162,6 +162,26 @@ def test_train_cli_dualenc(workspace):
     assert glob.glob(os.path.join(log_dir, "checkpoints", "*.ckpt"))
 
 
+def test_sampling_cli_dualenc(workspace):
+    """Legacy-family checkpoints sample through the same CLI (dual-branch eps)."""
+    from tsdiff_tpu.cli import sampling as sampling_cli
+
+    root = workspace
+    ckpts = glob.glob(str(root / "logs_dual" / "*" / "checkpoints" / "*.ckpt"))
+    assert ckpts, "dualenc training must have produced a checkpoint"
+    out = sampling_cli.main(
+        [ckpts[0],
+         "--test_set", str(root / "val.pkl"),
+         "--save_dir", str(root / "gen_dual"),
+         "--n_steps", "4",
+         "--sampling_type", "ld",
+         "--batch_size", "4"]
+    )
+    with open(out, "rb") as f:
+        results = pickle.load(f)
+    assert all(np.isfinite(g["pos_gen"]).all() for g in results)
+
+
 def test_evaluate_cli(workspace):
     from tsdiff_tpu.cli import evaluate as evaluate_cli
 

@@ -90,7 +90,11 @@ def main(argv=None):
     model_cfg = Config(cks[0]["config"]).model
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model = get_model(model_cfg, dtype=dtype)
-    schedule = DiffusionSchedule.from_config(model_cfg)
+    schedule = (
+        DiffusionSchedule.from_config(model_cfg)
+        if "beta_schedule" in model_cfg
+        else None  # dsm models use their sigma ladder instead
+    )
     stacked = stack_params(
         [jax.tree_util.tree_map(jnp.asarray, ck["params"]) for ck in cks]
     )
@@ -154,12 +158,49 @@ def main(argv=None):
             pos_init = jax.random.normal(
                 jax.random.key(args.seed + len(results)), (len(graphs), n_pad, 3)
             )
+        key = jax.random.key(args.seed * 7919 + len(results))
+        from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
+
+        if isinstance(model, DualEncoderEpsNetwork):
+            # legacy family: dual-branch eps with w_global gating; member-
+            # averaged eps via vmapped eps_fns
+            from tsdiff_tpu.diffusion.dual_objective import (
+                dsm_annealed_sampling,
+                dual_dynamic_sampling,
+                make_dual_eps_fn,
+            )
+            from tsdiff_tpu.diffusion.sampler import SampleResult
+
+            def eps_fn(pos, gate, time_step=None):
+                def member(p):
+                    return make_dual_eps_fn(model, p, batch, clip=clip)(
+                        pos, gate, time_step
+                    )
+
+                return jnp.mean(jax.vmap(member)(stacked), axis=0)
+
+            if model.model_type == "dsm":
+                pos, traj, nan = jax.jit(
+                    lambda k: dsm_annealed_sampling(
+                        eps_fn, model.sigmas, pos_init, batch.node_mask, k,
+                        n_steps=args.n_steps, step_lr=args.step_lr,
+                        save_traj=args.save_traj,
+                    )
+                )(key)
+            else:
+                pos, traj, nan = jax.jit(
+                    lambda k: dual_dynamic_sampling(
+                        eps_fn, schedule, pos_init, batch.node_mask, k, settings
+                    )
+                )(key)
+            return batch, SampleResult(pos=pos, traj=traj, nan_detected=nan), settings
+
         score_fn = make_ensemble_score_fn(model, stacked, batch)
         res = jax.jit(
             lambda k: dynamic_sampling(
                 score_fn, schedule, pos_init, batch.node_mask, k, settings
             )
-        )(jax.random.key(args.seed * 7919 + len(results)))
+        )(key)
         return batch, res, settings
 
     from tqdm.auto import tqdm
@@ -172,11 +213,14 @@ def main(argv=None):
                 break
             logger.warning("NaN detected; retrying with clipping thresh 20.")
         pos = np.asarray(res.pos)
-        traj = (
-            np.asarray(rescale_trajectory(res.traj, schedule, settings))
-            if args.save_traj
-            else None
-        )
+        traj = None
+        if args.save_traj and res.traj is not None:
+            # dsm runs in unscaled coordinates; no sqrt(alpha) rescale
+            traj = (
+                np.asarray(rescale_trajectory(res.traj, schedule, settings))
+                if schedule is not None
+                else np.asarray(res.traj)
+            )
         for b, g in enumerate(graphs):
             n = int(g["atom_type"].shape[0])
             out = dict(g)
