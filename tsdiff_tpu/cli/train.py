@@ -32,10 +32,15 @@ def main(argv=None):
     parser.add_argument("--max_iters", type=int, default=None, help="override config max_iters")
     parser.add_argument("--profile", action="store_true",
                         help="log per-phase timings; write a jax.profiler device trace")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans: fail fast at the op producing a NaN")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from tsdiff_tpu.config import load_config, Config
     from tsdiff_tpu.data import PaddedBatchLoader, TSDataset, inf_iterator
