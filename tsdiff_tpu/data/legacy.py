@@ -57,6 +57,87 @@ def rdmol_to_data(mol, smiles: str | None = None) -> dict:
     )
 
 
+def preprocess_geom_dataset(
+    base_path: str,
+    dataset_name: str,
+    max_conf: int = 5,
+    train_size: float = 0.8,
+    max_size: int = 2**62,
+    seed: int | None = None,
+):
+    """GEOM (qm9/drugs) conformer extraction (reference utils/datasets.py:
+    681-796): read the summary json, take the ``max_conf`` highest-Boltzmann-
+    weight conformers per molecule, split by 2D structure (molecule-level)
+    into train/val/test.  Requires RDKit."""
+    import json
+    import os
+    import pickle as pkl
+    import random
+
+    seed = 2021 if seed is None else seed
+    np.random.seed(seed)
+    random.seed(seed)
+
+    assert dataset_name in ("qm9", "drugs")
+    with open(os.path.join(base_path, f"summary_{dataset_name}.json")) as f:
+        summ = json.load(f)
+
+    pickle_paths = []
+    for smiles, meta in summ.items():
+        if meta.get("uniqueconfs") is None or meta.get("pickle_path") is None:
+            continue
+        pickle_paths.append(meta["pickle_path"])
+        if len(pickle_paths) >= max_size:
+            break
+
+    train, val, test = [], [], []
+    val_size = (1.0 - train_size) / 2
+    bad = 0
+    for rel in pickle_paths:
+        with open(os.path.join(base_path, rel), "rb") as f:
+            mol = pkl.load(f)
+        u = mol.get("uniqueconfs")
+        confs = mol.get("conformers")
+        if u is None or u <= 0 or u > len(confs):
+            bad += 1
+            continue
+        if u <= max_conf:
+            conf_ids = np.arange(u)
+        else:
+            weights = np.array([c.get("boltzmannweight", -1.0) for c in confs])
+            conf_ids = (-weights).argsort()[:max_conf]
+        datas = []
+        for cid in conf_ids:
+            meta = confs[int(cid)]
+            g = rdmol_to_data(meta["rd_mol"])
+            g["totalenergy"] = float(meta.get("totalenergy", 0.0))
+            g["boltzmannweight"] = float(meta.get("boltzmannweight", 0.0))
+            datas.append(g)
+        eps = np.random.rand()
+        if eps <= train_size:
+            train.extend(datas)
+        elif eps <= train_size + val_size:
+            val.extend(datas)
+        else:
+            test.extend(datas)
+    return train, val, test
+
+
+def preprocess_iso17_dataset(base_path: str):
+    """ISO17 conformer pickles -> legacy graph dicts
+    (reference utils/datasets.py:642-678).  Requires RDKit to featurize the
+    pickled mols (torch-free unpickling is the caller's concern)."""
+    import os
+    import pickle as pkl
+
+    out = []
+    for split in ("train", "test"):
+        with open(os.path.join(base_path, f"iso17_split-0_{split}.pkl"), "rb") as f:
+            raw = pkl.load(f)
+        out.append([rdmol_to_data(m) for m in raw])
+    return tuple(out)
+
+
 class ConformationDataset(TSDataset):
     """Legacy conformer dataset with atom/edge-type vocab discovery
     (reference utils/datasets.py:1102-1133)."""
