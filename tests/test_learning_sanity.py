@@ -129,3 +129,24 @@ def test_training_improves_sampled_dmae():
         f"sampling quality did not improve: untrained D-MAE {d_untrained:.3f}, "
         f"trained {d_trained:.3f}"
     )
+
+    # bf16 network compute must preserve sampling quality (the bench config):
+    # same trained params, bf16 model, same keys -> D-MAE within 20% + 0.05 A.
+    model_bf16 = get_model(CFG, dtype=jnp.bfloat16)
+
+    def sample_bf16(params, key):
+        settings = SamplingSettings(sampling_type="ddpm", n_steps=CFG.num_diffusion_timesteps)
+        res = dynamic_sampling(
+            make_score_fn(model_bf16, params, batch),
+            schedule,
+            jax.random.normal(key, batch.pos.shape),
+            batch.node_mask,
+            key,
+            settings,
+        )
+        return np.asarray(res.pos)
+
+    d_bf16 = mean_dmae(sample_bf16(state.params, jax.random.key(7)))
+    assert d_bf16 < 1.2 * d_trained + 0.05, (
+        f"bf16 sampling degraded quality: f32 D-MAE {d_trained:.3f}, bf16 {d_bf16:.3f}"
+    )

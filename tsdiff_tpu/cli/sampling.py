@@ -59,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--step_lr", type=float, default=1e-7)
     parser.add_argument("--seed", type=int, default=2022)
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--fused_score", action="store_true", default=False,
+                        help="fully-fused Pallas score kernel (condensenc + mlp edge encoder only; "
+                             "fastest with --dtype bfloat16)")
     args = parser.parse_args(argv)
 
     import jax
@@ -88,6 +91,8 @@ def main(argv=None):
     logger.info("Loading checkpoints...")
     cks = [load_checkpoint(p) for p in args.ckpt]
     model_cfg = Config(cks[0]["config"]).model
+    if args.fused_score:
+        model_cfg.fused_score = True
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model = get_model(model_cfg, dtype=dtype)
     schedule = (
