@@ -183,11 +183,15 @@ class SchNetEncoder(nn.Module):
         )()
         cmask = self.cutoff_mask(edge_length, emask)
 
-        if self.use_pallas:
-            from tsdiff_tpu.ops.pallas.schnet_stack import interaction_stack_pallas
+        if self.use_pallas and not self.is_initializing():
+            # differentiable fused kernel (custom VJP with recompute-based
+            # backward) — valid for both training and inference
+            from tsdiff_tpu.ops.pallas.schnet_stack_vjp import (
+                interaction_stack_pallas_trainable,
+            )
 
-            return interaction_stack_pallas(
-                weights, h.astype(dt), edge_attr.astype(dt), cmask, dtype=dt
+            return interaction_stack_pallas_trainable(
+                weights, h.astype(dt), edge_attr.astype(dt), cmask, dt, False
             )
         return interaction_stack_xla(
             weights, h.astype(dt), edge_attr.astype(dt), cmask, dtype=dt
