@@ -59,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--step_lr", type=float, default=1e-7)
     parser.add_argument("--seed", type=int, default=2022)
     parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--sort_by_size", action="store_true", default=False,
+                        help="sort reactions by atom count before batching (homogeneous "
+                             "padding buckets, higher throughput; changes result order)")
     parser.add_argument("--fused_score", action="store_true", default=False,
                         help="fully-fused Pallas score kernel (condensenc + mlp edge encoder only; "
                              "fastest with --dtype bfloat16)")
@@ -119,6 +122,8 @@ def main(argv=None):
             feat_dict = pickle.load(f)
         test_set = featurize_smarts_list([args.test_set], feat_dict)
     test_set = [g for i, g in enumerate(test_set) if args.start_idx <= i < args.end_idx]
+    if args.sort_by_size:
+        test_set = sorted(test_set, key=lambda g: int(g["atom_type"].shape[0]))
     logger.info(f"{len(test_set)} reactions selected")
 
     done_smiles = set()
