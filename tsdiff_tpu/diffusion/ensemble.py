@@ -53,7 +53,13 @@ def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
 
 
 def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> ScoreFn:
-    """Mean-of-members score (reference models/sampler.py:95-111) via vmap."""
+    """Mean-of-members score (reference models/sampler.py:95-111) via vmap.
+
+    The typed pair structures and the per-step radius mask / distances are
+    member-invariant: computed once and broadcast into the member vmap
+    (in_axes=None).
+    """
+    pairs = model.precompute_pairs(batch.bond_mat, batch.node_mask)
     statics = jax.vmap(
         lambda p: model.apply(
             p,
@@ -67,11 +73,15 @@ def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> Score
     )(stacked_params)
 
     def score(pos: jax.Array):
-        def member(p, st):
-            return model.apply(p, pos, batch.node_mask, st, method="score_step")
+        pair_info = model.build_pair_info(pos, batch.node_mask, pairs)
 
-        edge_inv_m, edges_m, d_m = jax.vmap(member)(stacked_params, statics)
-        edges0 = jax.tree_util.tree_map(lambda x: x[0], edges_m)
-        return jnp.mean(edge_inv_m, axis=0), edges0.mask_global, d_m[0]
+        def member(p, st):
+            return model.apply(
+                p, pos, batch.node_mask, st, pair_info, method="score_step"
+            )[0]
+
+        edge_inv_m = jax.vmap(member, in_axes=(0, 0))(stacked_params, statics)
+        _, _, edges_out, d_out = pair_info
+        return jnp.mean(edge_inv_m, axis=0), edges_out.mask_global, d_out
 
     return score

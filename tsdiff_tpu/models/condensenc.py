@@ -236,7 +236,11 @@ class CondenseEncoderEpsNetwork(nn.Module):
         )
 
     def score_step(
-        self, pos: jax.Array, node_mask: jax.Array, static: StaticFeatures
+        self,
+        pos: jax.Array,
+        node_mask: jax.Array,
+        static: StaticFeatures,
+        pair_info=None,
     ) -> tuple[jax.Array, GraphEdges, jax.Array]:
         """Position-dependent part of the forward — the per-sampling-step work.
 
@@ -246,11 +250,14 @@ class CondenseEncoderEpsNetwork(nn.Module):
         of the order-4 one, so all surviving pairs carry identical distances;
         non-surviving pairs are masked downstream by CFConv's edge mask and
         eq_transform's score mask).
+
+        ``pair_info`` (a ``build_pair_info`` result) is member-invariant —
+        ensemble callers compute it once outside the member vmap.
         """
         dt = self.dtype or jnp.float32
-        edges_in, d_in, edges_out, d_out = self.build_pair_info(
-            pos, node_mask, static.pairs
-        )
+        if pair_info is None:
+            pair_info = self.build_pair_info(pos, node_mask, static.pairs)
+        edges_in, d_in, edges_out, d_out = pair_info
 
         if self.fused_score and not self.is_initializing():
             # fully-fused Pallas path (sampling): everything after the
