@@ -199,15 +199,20 @@ def main(argv=None):
                 key, k = jax.random.split(key)
                 with timer.phase("train_step"):
                     state, metrics = train_step(state, batch, k, scheduler.lr)
-                    metrics = {kk: float(v) for kk, v in metrics.items()}
+                    _ = float(metrics["loss"])  # profile mode: true sync per step
             else:
                 batch = shard_batch(next(train_iter), mesh)
                 key, k = jax.random.split(key)
                 state, metrics = train_step(state, batch, k, scheduler.lr)
-            loss_sum += float(metrics["loss_sum"])
-            n_sum += float(metrics["n_nodes"])
-            grad_norm_sum += float(metrics["grad_norm"])
+            # accumulate ON DEVICE — forcing scalars here would synchronize
+            # the host every step and serialize data packing with compute
+            loss_sum = loss_sum + metrics["loss_sum"]
+            n_sum = n_sum + metrics["n_nodes"]
+            grad_norm_sum = grad_norm_sum + metrics["grad_norm"]
             if it % config.train.val_freq == 0 or it == config.train.max_iters:
+                loss_sum, n_sum, grad_norm_sum = (
+                    float(loss_sum), float(n_sum), float(grad_norm_sum)
+                )
                 logger.info(
                     "[Train] Iter %05d | Loss %.2f | Grad %.2f | LR %.6f"
                     % (it, loss_sum / max(n_sum, 1), grad_norm_sum / config.train.val_freq, scheduler.lr)

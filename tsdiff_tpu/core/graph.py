@@ -11,8 +11,8 @@ dynamic shapes.
 Here a batch is a stack of fixed-size padded graphs:
 
   * ``atom_type``  (B, N)      int32   atomic numbers, 0-padded
-  * ``r_feat``     (B, N, F)   float32 one-hot reactant atom features
-  * ``p_feat``     (B, N, F)   float32 one-hot product atom features
+  * ``r_feat``     (B, N, F)   uint8 one-hot reactant atom features
+  * ``p_feat``     (B, N, F)   uint8 one-hot product atom features
   * ``pos``        (B, N, 3)   float32 coordinates (TS for training data)
   * ``bond_mat``   (B, N, N)   int32   condensed bond types
                                ``r_type * NUM_BOND_TYPES + p_type`` with 0 =
@@ -39,8 +39,8 @@ import numpy as np
 @dataclasses.dataclass(frozen=True)
 class ReactionBatch:
     atom_type: jax.Array  # (B, N) int32
-    r_feat: jax.Array     # (B, N, F) float32
-    p_feat: jax.Array     # (B, N, F) float32
+    r_feat: jax.Array     # (B, N, F) uint8 one-hots (cast to compute dtype in-model)
+    p_feat: jax.Array     # (B, N, F) uint8
     pos: jax.Array        # (B, N, 3) float32
     bond_mat: jax.Array   # (B, N, N) int32 condensed edge types
     node_mask: jax.Array  # (B, N) bool
@@ -80,10 +80,12 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
     packed = pack_batch_native(graphs, n_max)
     if packed is not None:
         atom_type, r_feat, p_feat, pos, bond_mat, node_mask = packed
+        # one-hot features ship as uint8 (4x less host->device traffic; the
+        # models cast to the compute dtype on device)
         return ReactionBatch(
             atom_type=jnp.asarray(atom_type),
-            r_feat=jnp.asarray(r_feat),
-            p_feat=jnp.asarray(p_feat),
+            r_feat=jnp.asarray(r_feat.astype(np.uint8)),
+            p_feat=jnp.asarray(p_feat.astype(np.uint8)),
             pos=jnp.asarray(pos),
             bond_mat=jnp.asarray(bond_mat),
             node_mask=jnp.asarray(node_mask),
@@ -117,8 +119,8 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
 
     return ReactionBatch(
         atom_type=jnp.asarray(atom_type),
-        r_feat=jnp.asarray(r_feat),
-        p_feat=jnp.asarray(p_feat),
+        r_feat=jnp.asarray(r_feat.astype(np.uint8)),
+        p_feat=jnp.asarray(p_feat.astype(np.uint8)),
         pos=jnp.asarray(pos),
         bond_mat=jnp.asarray(bond_mat),
         node_mask=jnp.asarray(node_mask),
