@@ -44,6 +44,7 @@ def main(argv=None):
 
     from tsdiff_tpu.config import load_config, Config
     from tsdiff_tpu.data import PaddedBatchLoader, TSDataset, inf_iterator
+    from tsdiff_tpu.data.prefetch import Prefetcher
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
     from tsdiff_tpu.models import get_model
     from tsdiff_tpu.train import (
@@ -110,12 +111,18 @@ def main(argv=None):
     val_loader = PaddedBatchLoader(
         val_set, config.train.batch_size, shuffle=False, bucket_sizes=bucket_sizes
     )
-    train_iter = inf_iterator(train_loader)
-
     # Mesh: data-parallel over the largest device count dividing the batch
     n_dev = len(jax.devices())
     dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
     mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
+
+    # background packing + host->device transfer, overlapped with compute
+    train_iter = iter(
+        Prefetcher(
+            inf_iterator(train_loader), depth=2,
+            transfer=lambda b: shard_batch(b, mesh),
+        )
+    )
     logger.info(f"Devices: {n_dev} -> mesh (dp={dp}, ens=1)")
     if dp < n_dev:
         logger.warning(
@@ -195,13 +202,13 @@ def main(argv=None):
         for it in range(start_iter, config.train.max_iters + 1):
             if timer is not None:
                 with timer.phase("data"):
-                    batch = shard_batch(next(train_iter), mesh)
+                    batch = next(train_iter)
                 key, k = jax.random.split(key)
                 with timer.phase("train_step"):
                     state, metrics = train_step(state, batch, k, scheduler.lr)
                     _ = float(metrics["loss"])  # profile mode: true sync per step
             else:
-                batch = shard_batch(next(train_iter), mesh)
+                batch = next(train_iter)
                 key, k = jax.random.split(key)
                 state, metrics = train_step(state, batch, k, scheduler.lr)
             # accumulate ON DEVICE — forcing scalars here would synchronize
