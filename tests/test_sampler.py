@@ -175,3 +175,16 @@ def test_ddpm_sampling_runs():
     )
     assert np.isfinite(np.asarray(res.pos)).all()
     assert res.traj is None
+
+
+def test_rescale_trajectory_factors():
+    """traj[k] is scaled by sqrt(alphas[i_k]) (reference sampling.py:210-216)."""
+    settings = SamplingSettings(sampling_type="ld", n_steps=7)
+    coeffs = build_step_coeffs(SCHEDULE, settings)
+    traj = jnp.ones((7, 2, 3, 3))
+    out = np.asarray(rescale_trajectory(traj, SCHEDULE, settings))
+    alphas = np.asarray(SCHEDULE.alphas)
+    for k in range(7):
+        np.testing.assert_allclose(
+            out[k], np.sqrt(alphas[coeffs.timesteps[k]]), rtol=1e-6
+        )
