@@ -57,10 +57,12 @@ def main():
     members = [model.init(jax.random.key(s), *init_args) for s in range(args.members)]
     stacked = stack_params(members)
     pos0 = jax.random.normal(jax.random.key(1), batch.pos.shape)
-    score_fn = make_ensemble_score_fn(model, stacked, batch)
 
-    # one ensemble score evaluation
-    score_j = jax.jit(lambda p: score_fn(p)[0].sum())
+    # score-fn creation INSIDE jit: its precomputed statics must be traced
+    # computations, not HLO constants
+    score_j = jax.jit(
+        lambda p: make_ensemble_score_fn(model, stacked, batch)(p)[0].sum()
+    )
     timed_blocked(score_j, pos0)  # compile
     ts = min(timed_blocked(score_j, pos0)[0] for _ in range(5))
     print(f"score eval ({args.members} members): {ts * 1000:.2f} ms")
@@ -69,7 +71,8 @@ def main():
     def run(n):
         s = SamplingSettings(sampling_type="ld", n_steps=n, step_lr=1e-7)
         return dynamic_sampling(
-            score_fn, schedule, pos0, batch.node_mask, jax.random.key(2), s
+            make_ensemble_score_fn(model, stacked, batch),
+            schedule, pos0, batch.node_mask, jax.random.key(2), s,
         ).pos.sum()
 
     run_j = jax.jit(run, static_argnums=0)

@@ -205,10 +205,13 @@ def main(argv=None):
                 )(key)
             return batch, SampleResult(pos=pos, traj=traj, nan_detected=nan), settings
 
-        score_fn = make_ensemble_score_fn(model, stacked, batch)
+        # NOTE: the score closure must be built INSIDE the jitted function —
+        # built outside, its precomputed static features become giant HLO
+        # constants instead of traced computations.
         res = jax.jit(
             lambda k: dynamic_sampling(
-                score_fn, schedule, pos_init, batch.node_mask, k, settings
+                make_ensemble_score_fn(model, stacked, batch),
+                schedule, pos_init, batch.node_mask, k, settings,
             )
         )(key)
         return batch, res, settings
