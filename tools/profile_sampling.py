@@ -65,7 +65,10 @@ def main():
     )
     timed_blocked(score_j, pos0)  # compile
     ts = min(timed_blocked(score_j, pos0)[0] for _ in range(5))
-    print(f"score eval ({args.members} members): {ts * 1000:.2f} ms")
+    print(
+        f"standalone score eval ({args.members} members, INCLUDES the "
+        f"position-independent precompute rebuilt per call): {ts * 1000:.2f} ms"
+    )
 
     # full scan, length differencing
     def run(n):
@@ -81,7 +84,7 @@ def main():
     t10 = min(timed_blocked(run_j, 10)[0] for _ in range(2))
     tN = min(timed_blocked(run_j, args.steps)[0] for _ in range(2))
     per = (tN - t10) / (args.steps - 10)
-    print(f"full step: {per * 1000:.2f} ms  (residue over score: {(per - ts) * 1000:.2f} ms)")
+    print(f"full sampling step (precompute hoisted out of the scan): {per * 1000:.2f} ms")
     print(
         f"=> {args.batch / (per * 5000):.3f} samples/s at 5000 steps, batch {args.batch}"
     )
