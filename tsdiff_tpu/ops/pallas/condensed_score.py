@@ -50,15 +50,17 @@ def _score_kernel(
     f1w_ref, f1b_ref, f2w_ref, f2b_ref, l1w_ref, l2w_ref, l2b_ref, ow_ref, ob_ref,
     # head grad_dist_mlp: (2H -> H) split, (H -> H/2), (H/2 -> 1)
     g0h_ref, g0e_ref, g0b_ref, g1w_ref, g1b_ref, g2w_ref, g2b_ref,
-    out_ref,      # (1, P, 1) edge_inv (f32)
+    out_ref,      # (1, G*P, 1) edge_inv (f32)
     *,
     num_blocks: int,
     n_nodes: int,
+    graphs_per_step: int,
 ):
     n = n_nodes
+    gps = graphs_per_step
     d = d_ref[0]
     c = cin_ref[0]
-    h = z_ref[0]
+    h = z_ref[0]   # (G*N, H)
     dt = h.dtype
 
     def dot(a, b):
@@ -85,7 +87,10 @@ def _score_kernel(
         w = (dot(w, f2w_ref[l]) + f2b_ref[l]).astype(dt)
         w = w * c
         xh = dot(h, l1w_ref[l]).astype(dt)
-        agg = jnp.sum(w.reshape(n, n, -1) * xh[:, None, :], axis=0)
+        # per-graph aggregation: rows are grouped [graph, i] x [graph, j]
+        w4 = w.reshape(gps, n, n, -1)
+        xh4 = xh.reshape(gps, n, -1)
+        agg = jnp.sum(w4 * xh4[:, :, None, :], axis=1).reshape(gps * n, -1)
         conv = (dot(agg, l2w_ref[l]) + l2b_ref[l]).astype(dt)
         return h + (dot(_ssp(conv), ow_ref[l]) + ob_ref[l]).astype(dt)
 
@@ -94,8 +99,9 @@ def _score_kernel(
     # 5. out-stage edge attributes (order-3 statics, same d_emb)
     ea_out = edge_cat(er_out_ref, ep_out_ref)
 
-    # 6. head on h_pair = [h_i * h_j, ea_out]
-    hh = (h[:, None, :] * h[None, :, :]).reshape(n * n, -1)
+    # 6. head on h_pair = [h_i * h_j, ea_out] (outer products per graph)
+    h4 = h.reshape(gps, n, -1)
+    hh = (h4[:, :, None, :] * h4[:, None, :, :]).reshape(gps * n * n, -1)
     g = dot(hh, g0h_ref[:]) + dot(ea_out, g0e_ref[:]) + g0b_ref[:]
     g = _silu(g.astype(dt))
     g = _silu((dot(g, g1w_ref[:]) + g1b_ref[:]).astype(dt))
@@ -140,7 +146,9 @@ _W_ORDER = (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_blocks", "dtype", "interpret", "graphs_per_step")
+)
 def condensed_score_pallas(
     weights: dict,
     z: jax.Array,        # (B, N, H)
@@ -153,16 +161,26 @@ def condensed_score_pallas(
     num_blocks: int,
     dtype=jnp.float32,
     interpret: bool = False,
+    graphs_per_step: int = 2,
 ) -> jax.Array:
-    """Returns edge_inv (B, N, N, 1) float32."""
+    """Returns edge_inv (B, N, N, 1) float32.
+
+    ``graphs_per_step`` packs G graphs into each grid step: fewer grid
+    iterations (less fixed per-step overhead) and larger matmuls; per-graph
+    ops (aggregation, pair outer products) are regrouped in-kernel.
+    """
     B, N, _, H = emb_r_in.shape
     P = N * N
+    G = graphs_per_step
+    while B % G != 0:  # static fallback for odd batch sizes
+        G -= 1
+    BG = B // G
 
-    dv = d.reshape(B, P, 1).astype(dtype)
-    cv = cmask_in.reshape(B, P, 1).astype(dtype)
-    zv = z.astype(dtype)
+    dv = d.reshape(BG, G * P, 1).astype(dtype)
+    cv = cmask_in.reshape(BG, G * P, 1).astype(dtype)
+    zv = z.reshape(BG, G * N, -1).astype(dtype)
     embs = [
-        e.reshape(B, P, H).astype(dtype)
+        e.reshape(BG, G * P, H).astype(dtype)
         for e in (emb_r_in, emb_p_in, emb_r_out, emb_p_out)
     ]
     w = {k: weights[k].astype(dtype) for k in _W_ORDER}
@@ -192,19 +210,21 @@ def condensed_score_pallas(
     )
     bytes_accessed = (dv.size + cv.size + zv.size + 4 * embs[0].size) * 4
 
-    kernel = functools.partial(_score_kernel, num_blocks=num_blocks, n_nodes=N)
+    kernel = functools.partial(
+        _score_kernel, num_blocks=num_blocks, n_nodes=N, graphs_per_step=G
+    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, P, 1), jnp.float32),
-        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((BG, G * P, 1), jnp.float32),
+        grid=(BG,),
         in_specs=[
-            per_graph((P, 1)),
-            per_graph((P, 1)),
-            per_graph((N, H)),
-            *[per_graph((P, H)) for _ in range(4)],
+            per_graph((G * P, 1)),
+            per_graph((G * P, 1)),
+            per_graph((G * N, H)),
+            *[per_graph((G * P, H)) for _ in range(4)],
             *[full(w[k]) for k in _W_ORDER],
         ],
-        out_specs=per_graph((P, 1)),
+        out_specs=per_graph((G * P, 1)),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=B * (num_blocks + 4) * P * H,
