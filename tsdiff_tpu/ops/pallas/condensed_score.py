@@ -175,7 +175,9 @@ def condensed_score_pallas(
     P = N * N
     if graphs_per_step is None:
         # ~1.2k pair-rows per grid step stays within scoped VMEM at H=256
-        graphs_per_step = 2 if 2 * P <= 1200 else 1
+        graphs_per_step = max(
+            (g for g in (4, 2, 1) if g * P <= 1200), default=1
+        )
     G = graphs_per_step
     while B % G != 0:  # static fallback for odd batch sizes
         G -= 1
