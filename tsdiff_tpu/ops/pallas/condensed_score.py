@@ -174,10 +174,9 @@ def condensed_score_pallas(
     B, N, _, H = emb_r_in.shape
     P = N * N
     if graphs_per_step is None:
-        # ~1.2k pair-rows per grid step stays within scoped VMEM at H=256
-        graphs_per_step = max(
-            (g for g in (4, 2, 1) if g * P <= 1200), default=1
-        )
+        # G=2 at N<=24 fits scoped VMEM (measured); G=4 exceeds it even at
+        # N=16 (buffer count scales with G beyond the row count)
+        graphs_per_step = 2 if 2 * P <= 1200 else 1
     G = graphs_per_step
     while B % G != 0:  # static fallback for odd batch sizes
         G -= 1
