@@ -137,8 +137,13 @@ def main(argv=None):
     tx = make_optimizer(config.train.optimizer, config.train.max_grad_norm)
     t0 = config.model.get("t0", 0)
     t1 = config.model.get("t1", None)
-    train_step = make_train_step(model, tx, schedule, t0=t0, t1=t1)
-    eval_step = make_eval_step(model, schedule, t0=t0, t1=t1)
+    anneal_power = config.train.get("anneal_power", 2.0)
+    train_step = make_train_step(
+        model, tx, schedule, t0=t0, t1=t1, anneal_power=anneal_power
+    )
+    eval_step = make_eval_step(
+        model, schedule, t0=t0, t1=t1, anneal_power=anneal_power
+    )
     scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
 
     probe = next(iter(train_loader))

@@ -71,7 +71,13 @@ def init_model_params(model, key, batch: ReactionBatch):
     )
 
 
-def get_objective(model, schedule: DiffusionSchedule | None, t0: int = 0, t1: int | None = None):
+def get_objective(
+    model,
+    schedule: DiffusionSchedule | None,
+    t0: int = 0,
+    t1: int | None = None,
+    anneal_power: float = 2.0,
+):
     """Loss dispatcher over model families (reference get_loss dispatch,
     condensenc.py:267 / dualenc.py:376-423):
 
@@ -95,15 +101,20 @@ def get_objective(model, schedule: DiffusionSchedule | None, t0: int = 0, t1: in
 
         if model.model_type == "diffusion":
             return lambda p, batch, key: dual_diffusion_loss(
-                model, p, schedule, batch, key
+                model, p, schedule, batch, key, anneal_power=anneal_power
             )
-        return lambda p, batch, key: dual_dsm_loss(model, p, batch, key)
+        return lambda p, batch, key: dual_dsm_loss(
+            model, p, batch, key, anneal_power=anneal_power
+        )
     raise NotImplementedError(f"No objective for {type(model).__name__}")
 
 
-def make_train_step(model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
+def make_train_step(
+    model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None,
+    anneal_power: float = 2.0,
+):
     """Returns jitted (state, batch, key, lr) -> (state, metrics)."""
-    objective = get_objective(model, schedule, t0=t0, t1=t1)
+    objective = get_objective(model, schedule, t0=t0, t1=t1, anneal_power=anneal_power)
 
     def train_step(state: TrainState, batch: ReactionBatch, key, lr):
         def loss_fn(p):
@@ -125,10 +136,13 @@ def make_train_step(model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int
     return jax.jit(train_step)
 
 
-def make_eval_step(model, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None):
+def make_eval_step(
+    model, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None,
+    anneal_power: float = 2.0,
+):
     """Jitted validation step: per-batch (loss_sum, n_nodes) so the caller can
     average over the full set (reference train.py:154-174)."""
-    objective = get_objective(model, schedule, t0=t0, t1=t1)
+    objective = get_objective(model, schedule, t0=t0, t1=t1, anneal_power=anneal_power)
 
     def eval_step(params, batch: ReactionBatch, key):
         _, aux = objective(params, batch, key)
