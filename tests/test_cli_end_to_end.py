@@ -210,3 +210,29 @@ def test_sampling_from_ts_guess(workspace):
     with open(out, "rb") as f:
         results = pickle.load(f)
     assert all(np.isfinite(g["pos_gen"]).all() for g in results)
+
+
+def test_evaluate_cli_covmat_branch(workspace):
+    """--covmat runs the conformer evaluator when pos_ref stacks are present."""
+    import pickle as _pickle
+
+    import numpy as np_
+    from tsdiff_tpu.cli import evaluate as evaluate_cli
+
+    root = workspace
+    with open(root / "gen" / "samples_all.pkl", "rb") as f:
+        samples = _pickle.load(f)
+    # fabricate a packed multi-conformer entry from the generated data
+    packed = []
+    for g in samples[:2]:
+        g = dict(g)
+        n = g["atom_type"].shape[0]
+        g["pos_ref"] = np_.stack([g["pos"], g["pos"]])
+        g["pos_gen"] = np_.stack([g["pos_gen"]] * 4)
+        packed.append(g)
+    p = root / "packed.pkl"
+    with open(p, "wb") as f:
+        _pickle.dump(packed, f)
+    stats = evaluate_cli.main(["--samples", str(p), "--covmat"])
+    assert "covmat" in stats
+    assert stats["covmat"].CoverageR.shape[0] == 2
