@@ -90,3 +90,65 @@ def test_parallel_facade():
 
     mesh = make_mesh(dp=4, ens=2)
     assert mesh.shape == {"dp": 4, "ens": 2}
+
+
+def test_sampling_deterministic_under_fixed_keys():
+    """Identical keys -> bitwise-identical samples (explicit PRNG threading)."""
+    rng = np.random.default_rng(11)
+    batch = make_batch(rng, [5, 7], n_pad=8)
+    model = get_model(MODEL_CFG)
+    params = model.init(
+        jax.random.key(0),
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    settings = SamplingSettings(sampling_type="ld", n_steps=5)
+    pos_init = jax.random.normal(jax.random.key(1), batch.pos.shape)
+
+    def run():
+        return np.asarray(
+            dynamic_sampling(
+                make_score_fn(model, params, batch), schedule,
+                pos_init, batch.node_mask, jax.random.key(9), settings,
+            ).pos
+        )
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_dimenetpp_padding_invariance():
+    from tsdiff_tpu.models.dimenetpp import DimeNetPPEncoder
+
+    rng = np.random.default_rng(12)
+    real = 6
+    model = DimeNetPPEncoder(
+        num_layers=1, hidden_channels=16, out_channels=16, int_emb_size=8,
+        basis_emb_size=4, out_emb_channels=16, num_spherical=2, num_radial=3,
+        cutoff=10.0,
+    )
+
+    outs = []
+    for n_pad in (8, 12):
+        node = np.zeros((1, n_pad, 16), np.float32)
+        pos = np.zeros((1, n_pad, 3), np.float32)
+        attr = np.zeros((1, n_pad, n_pad, 16), np.float32)
+        m = np.zeros((1, n_pad, n_pad), bool)
+        rng2 = np.random.default_rng(5)
+        node[0, :real] = rng2.normal(size=(real, 16))
+        pos[0, :real] = rng2.normal(scale=1.5, size=(real, 3))
+        attr[0, :real, :real] = rng2.normal(size=(real, real, 16))
+        mm = rng2.random((real, real)) < 0.6
+        mm = np.triu(mm, 1)
+        m[0, :real, :real] = mm | mm.T
+        node_mask = np.arange(n_pad)[None] < real
+        params = model.init(
+            jax.random.key(0), jnp.asarray(node), jnp.asarray(pos),
+            jnp.asarray(m), jnp.asarray(attr), jnp.asarray(node_mask),
+        )
+        out = model.apply(
+            params, jnp.asarray(node), jnp.asarray(pos),
+            jnp.asarray(m), jnp.asarray(attr), jnp.asarray(node_mask),
+        )
+        outs.append(np.asarray(out)[0, :real])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-5)
