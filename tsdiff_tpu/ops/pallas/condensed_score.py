@@ -168,15 +168,17 @@ def condensed_score_pallas(
     ``graphs_per_step`` packs G graphs into each grid step: fewer grid
     iterations (less fixed per-step overhead) and larger matmuls; per-graph
     ops (aggregation, pair outer products) are regrouped in-kernel.
-    Default: G=2 when the working set fits VMEM (measured: 10.9 vs 12.1 ms
-    per sampling step at N=24; G=4 exceeds the 16 MB scoped-VMEM limit).
+    Default: largest G with ~<=2900 pair rows per step (see inline note).
     """
     B, N, _, H = emb_r_in.shape
     P = N * N
     if graphs_per_step is None:
-        # G=2 at N<=24 fits scoped VMEM (measured); G=4 exceeds it even at
-        # N=16 (buffer count scales with G beyond the row count)
-        graphs_per_step = 2 if 2 * P <= 1200 else 1
+        # sweet spot ~2-3k pair rows per grid step (measured at N=24:
+        # G=2 -> 10.9 ms, G=4 -> 10.4, G=5 -> 10.2, G=10 -> 10.7 per
+        # sampling step); needs the raised vmem_limit_bytes below
+        graphs_per_step = max(
+            (g for g in (8, 6, 5, 4, 3, 2, 1) if g * P <= 2900), default=1
+        )
     G = graphs_per_step
     while B % G != 0:  # static fallback for odd batch sizes
         G -= 1
@@ -234,6 +236,12 @@ def condensed_score_pallas(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=B * (num_blocks + 4) * P * H,
+        ),
+        # the default 16 MB scoped-VMEM budget is conservative (v5e has
+        # 128 MB); Mosaic's accounting also grows with grid length, so larger
+        # batches OOM the default even with identical block shapes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(dv, cv, zv, *embs, *[w[k] for k in _W_ORDER])
