@@ -4,9 +4,10 @@ A user switching from the PyTorch reference brings two kinds of artifacts:
 
   * trained checkpoints (``<iter>.pt``: {"config", "model": state_dict, ...},
     reference train.py:220-231) — convert with
-    :func:`convert_reference_checkpoint` (requires torch to unpickle; the
-    state-dict -> flax-param mapping itself is pure numpy and is tested
-    without torch);
+    :func:`convert_reference_checkpoint`.  Torch is NOT required: the zip
+    serialization format is read directly by
+    :mod:`tsdiff_tpu.data.torch_reader` (stdlib zipfile + a restricted
+    unpickler that materializes tensor storages as numpy);
   * PyG dataset pickles (lists of torch_geometric Data) — convert with
     :func:`convert_reference_dataset` (requires torch_geometric).
 
@@ -86,34 +87,20 @@ def condensenc_params_from_state_dict(state_dict: dict, num_convs: int) -> dict:
 def convert_reference_checkpoint(pt_path: str, out_path: str | None = None) -> dict:
     """Load a reference ``<iter>.pt`` and emit a tsdiff_tpu checkpoint dict.
 
-    Requires torch.  The embedded EasyDict config is flattened to plain
-    dicts; betas/alphas buffers are dropped (recomputed from the config).
+    Torch-free: uses :func:`tsdiff_tpu.data.torch_reader.load_torch_file`.
+    The embedded EasyDict config is flattened to plain dicts; betas/alphas
+    buffers are dropped (recomputed from the config).
     """
     import pickle as _pickle
 
-    import torch
+    from tsdiff_tpu.data.torch_reader import load_torch_file
 
-    class _CompatUnpickler(_pickle.Unpickler):
-        # reference checkpoints embed easydict.EasyDict configs
-        def find_class(self, module, name):
-            if module == "easydict" and name == "EasyDict":
-                return dict
-            return super().find_class(module, name)
-
-    try:
-        ck = torch.load(pt_path, map_location="cpu", weights_only=False)
-    except ModuleNotFoundError:
-        with open(pt_path, "rb") as f:
-            ck = torch.load(
-                f, map_location="cpu", pickle_module=type(
-                    "M", (), {"Unpickler": _CompatUnpickler, "load": _pickle.load}
-                ),
-            )
+    ck = load_torch_file(pt_path)
 
     config = _plain(ck["config"])
     model_cfg = config["model"]
     sd = {
-        k: v.numpy() for k, v in ck["model"].items()
+        k: np.asarray(v) for k, v in ck["model"].items()
         if not k.startswith(("betas", "alphas"))
     }
     params = condensenc_params_from_state_dict(
