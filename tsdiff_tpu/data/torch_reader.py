@@ -145,7 +145,11 @@ def load_torch_file(path: str):
         )
     with zipfile.ZipFile(path) as z:
         names = z.namelist()
-        pkl_name = next(n for n in names if n.endswith("/data.pkl"))
+        pkl_name = next((n for n in names if n.endswith("/data.pkl")), None)
+        if pkl_name is None:
+            raise ValueError(
+                f"{path}: zip archive contains no */data.pkl — not a torch checkpoint"
+            )
         prefix = pkl_name[: -len("data.pkl")]
         byteorder_name = f"{prefix}byteorder"
         if byteorder_name in names and z.read(byteorder_name).strip() == b"big":
