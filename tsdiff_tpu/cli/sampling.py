@@ -79,6 +79,7 @@ def main(argv=None):
     from tsdiff_tpu.diffusion.sampler import (
         SamplingSettings,
         dynamic_sampling,
+        final_frame_scale,
         rescale_trajectory,
     )
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
@@ -225,10 +226,20 @@ def main(argv=None):
             if not bool(res.nan_detected):
                 break
             logger.warning("NaN detected; retrying with clipping thresh 20.")
+        nan_persisted = bool(res.nan_detected)
+        if nan_persisted:
+            logger.error(
+                "NaN persisted after the clip-20 retry; batch results are "
+                "flagged nan_persisted=True (reference silently kept them)."
+            )
+        # final positions: scaled frame -> physical frame.  ~1 for a full
+        # run, essential for denoise_from_time_t > n_steps (the reference
+        # always rescales, sampling.py:210-216); dsm runs unscaled.
         pos = np.asarray(res.pos)
+        if schedule is not None and getattr(model, "model_type", "diffusion") != "dsm":
+            pos = pos * final_frame_scale(schedule, settings)
         traj = None
         if args.save_traj and res.traj is not None:
-            # dsm runs in unscaled coordinates; no sqrt(alpha) rescale
             traj = (
                 np.asarray(rescale_trajectory(res.traj, schedule, settings))
                 if schedule is not None
@@ -238,6 +249,8 @@ def main(argv=None):
             n = int(g["atom_type"].shape[0])
             out = dict(g)
             out["pos_gen"] = traj[:, b, :n] if traj is not None else pos[b, :n]
+            if nan_persisted:
+                out["nan_persisted"] = True
             results.append(out)
             done_smiles.add(out.get("smiles"))
         with open(os.path.join(args.save_dir, "samples_not_all.pkl"), "wb") as f:

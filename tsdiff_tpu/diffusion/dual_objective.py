@@ -21,7 +21,11 @@ import numpy as np
 
 from tsdiff_tpu.core.geometry import center_pos, clip_norm, eq_transform, pairwise_distance
 from tsdiff_tpu.core.graph import ReactionBatch
-from tsdiff_tpu.diffusion.sampler import SamplingSettings, build_step_coeffs
+from tsdiff_tpu.diffusion.sampler import (
+    SamplingSettings,
+    build_step_coeffs,
+    initial_position,
+)
 from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
 
 
@@ -193,8 +197,10 @@ def dual_dynamic_sampling(
     tsteps = jnp.asarray(coeffs.timesteps)
 
     key_init, key_scan = jax.random.split(key)
-    alphas = np.asarray(schedule.alphas, np.float64)
-    pos0 = pos_init * float(np.sqrt(1 - alphas[-1]) / np.sqrt(alphas[-1]))
+    # all three entry modes (from noise / denoise_from_time_t /
+    # noise_from_time_t) share the production sampler's logic (reference
+    # dualenc.py:754-850 implements the same cases as sampler.py:149-182)
+    pos0 = initial_position(schedule, settings, pos_init, key_init)
     pos0 = pos0 * node_mask[..., None].astype(pos_init.dtype)
 
     B = pos_init.shape[0]

@@ -57,6 +57,11 @@ def diffusion_loss(
     """
     if t1 is None:
         t1 = schedule.num_timesteps
+    if getattr(model, "fused_score", False):
+        # The fused Pallas score kernel is inference-only (no VJP); training
+        # always takes the XLA path so a sampling config with
+        # ``fused_score: true`` trains instead of failing at trace time.
+        model = model.clone(fused_score=False)
     key_t, key_eps = jax.random.split(key)
 
     G = batch.batch_size

@@ -241,6 +241,19 @@ def dynamic_sampling(
     return SampleResult(pos=pos, traj=traj, nan_detected=nan_flag)
 
 
+def final_frame_scale(
+    schedule: DiffusionSchedule, settings: SamplingSettings
+) -> float:
+    """Scaled-frame -> physical-frame factor for the FINAL positions:
+    ``sqrt(alphas[t_end - n_steps])``, i.e. the last entry of the
+    ``rescale_trajectory`` scale vector (reference sampling.py:210-216 always
+    rescales; for a full-schedule run the factor is ~1, but for
+    ``denoise_from_time_t > n_steps`` the raw scan output is NOT in physical
+    coordinates and this factor is essential)."""
+    coeffs = build_step_coeffs(schedule, settings)
+    return float(np.sqrt(coeffs.alphas_i[-1]))
+
+
 def rescale_trajectory(
     traj: jax.Array, schedule: DiffusionSchedule, settings: SamplingSettings
 ) -> jax.Array:

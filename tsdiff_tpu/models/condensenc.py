@@ -49,6 +49,30 @@ from tsdiff_tpu.models.schnet import SchNetEncoder
 NUM_ATOM_TYPES = 100  # atomic-number embedding table size (reference condensenc.py:58)
 
 
+@jax.custom_vjp
+def _inference_only(x):
+    """Identity with an actionable error under differentiation — guards the
+    fused Pallas sampling kernel (which has no VJP) against accidental use
+    inside a training objective."""
+    return x
+
+
+def _inference_only_fwd(x):
+    return x, None
+
+
+def _inference_only_bwd(res, g):
+    raise NotImplementedError(
+        "fused_score=True uses the inference-only Pallas score kernel, which "
+        "has no gradient. Training/get_loss must run the XLA path: construct "
+        "the model with fused_score=False (tsdiff_tpu.diffusion.objective."
+        "diffusion_loss does this automatically)."
+    )
+
+
+_inference_only.defvjp(_inference_only_fwd, _inference_only_bwd)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StaticFeatures:
@@ -287,7 +311,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
                 num_blocks=self.num_convs,
                 dtype=dt,
             )
-            return edge_inv, edges_out, d_out
+            return _inference_only(edge_inv), edges_out, d_out
 
         d_emb = self.edge_enc.d_embedding(d_in.astype(dt)[..., None])
         combine = self.edge_enc.combine

@@ -1,11 +1,12 @@
-"""Parallelism facade: device-mesh utilities for scaling tsdiff_tpu.
+"""Parallelism layer: device-mesh utilities for scaling tsdiff_tpu.
 
-Re-exports the (dp, ens) mesh toolkit (implementation in
-tsdiff_tpu/train/sharding.py) under the package layout suggested for the
-framework: ``tsdiff_tpu.parallel``.
+Home of the (dp, ens) mesh toolkit (tsdiff_tpu/parallel/sharding.py): data-
+parallel training over ``dp``, ensemble-member sharding over ``ens``, with
+XLA inserting all collectives over ICI.  The reference has no distributed
+support at all (SURVEY.md section 2.10) — this package is new capability.
 """
 
-from tsdiff_tpu.train.sharding import (  # noqa: F401
+from tsdiff_tpu.parallel.sharding import (  # noqa: F401
     batch_spec,
     make_mesh,
     replicate,

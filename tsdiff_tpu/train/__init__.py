@@ -1,5 +1,7 @@
 from tsdiff_tpu.train.scheduler import ExpMinScheduler, PlateauScheduler, get_scheduler  # noqa: F401
-from tsdiff_tpu.train.sharding import (  # noqa: F401
+# mesh utilities live in tsdiff_tpu.parallel; re-exported here because the
+# training loop is their main consumer (cli/train.py)
+from tsdiff_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     replicate,
     shard_batch,
