@@ -1,0 +1,231 @@
+"""Hand-computed golden cases — independent of tests/reference_numpy.py.
+
+Every expected value here is derived on paper (or as explicit literal
+arithmetic transcribing the paper formulas), so these tests anchor the
+implementation to the reference SEMANTICS rather than to a builder-written
+numpy mirror (VERDICT round-1, weak #4):
+
+  * typed order extension of a 4-ring and a 4-chain
+    (reference models/common.py:115-202, hop types 22+k-1)
+  * eq_transform on 3 atoms (reference models/geometry.py:22-30)
+  * DDPM loss with a constant-score stub network, recomputed with explicit
+    python loops (reference models/epsnet/condensenc.py:294-327)
+  * LD / DDPM update coefficients on a 4-step hand schedule
+    (reference models/sampler.py:215-244)
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tsdiff_tpu.core.geometry import eq_transform
+from tsdiff_tpu.core.graph_ops import extend_ts_graph
+from tsdiff_tpu.diffusion.sampler import SamplingSettings, build_step_coeffs
+from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+
+NB = 22  # len(BOND_TYPES), reference utils/chem.py:21
+
+
+def _bond_mat(n, edges, code):
+    m = np.zeros((1, n, n), np.int32)
+    for i, j in edges:
+        m[0, i, j] = m[0, j, i] = code
+    return jnp.asarray(m)
+
+
+def test_golden_order3_extension_ring():
+    """4-ring 0-1-2-3-0, single bonds on both sides (condensed 1*22+1 = 23).
+
+    Shortest paths: ring edges 1 hop (keep bond type 1); diagonals (0,2),
+    (1,3) 2 hops -> type 22+2-1 = 23.  No pair is 3 hops in a 4-ring.
+    """
+    bm = _bond_mat(4, [(0, 1), (1, 2), (2, 3), (3, 0)], 1 * NB + 1)
+    mask, tr, tp = extend_ts_graph(bm, jnp.ones((1, 4), bool), order=3)
+    expected = np.array(
+        [
+            [0, 1, 23, 1],
+            [1, 0, 1, 23],
+            [23, 1, 0, 1],
+            [1, 23, 1, 0],
+        ],
+        np.int32,
+    )
+    np.testing.assert_array_equal(np.asarray(tr[0]), expected)
+    np.testing.assert_array_equal(np.asarray(tp[0]), expected)  # symmetric sides
+    np.testing.assert_array_equal(np.asarray(mask[0]), expected > 0)
+
+
+def test_golden_order3_extension_chain_asymmetric_sides():
+    """Chain 0-1-2-3 on the R side only (condensed type 1*22+0 = 22: bond in R,
+    none in P).  R side: 1-hop bonds type 1; (0,2),(1,3) 2-hop -> 23;
+    (0,3) 3-hop -> 24.  P side: no edges at all -> all zeros; the local edge
+    set is the union (R-side edges)."""
+    bm = _bond_mat(4, [(0, 1), (1, 2), (2, 3)], 1 * NB + 0)
+    mask, tr, tp = extend_ts_graph(bm, jnp.ones((1, 4), bool), order=3)
+    expected_r = np.array(
+        [
+            [0, 1, 23, 24],
+            [1, 0, 1, 23],
+            [23, 1, 0, 1],
+            [24, 23, 1, 0],
+        ],
+        np.int32,
+    )
+    np.testing.assert_array_equal(np.asarray(tr[0]), expected_r)
+    np.testing.assert_array_equal(np.asarray(tp[0]), np.zeros((4, 4), np.int32))
+    np.testing.assert_array_equal(np.asarray(mask[0]), expected_r > 0)
+
+
+def test_golden_eq_transform_three_atoms():
+    """p0=(0,0,0), p1=(1,0,0), p2=(0,2,0); symmetric scores s01=2, s02=3,
+    s12=5; full off-diagonal edge set.
+
+    score_pos[i] = sum_j (s_ij + s_ji) (r_i - r_j)/d_ij:
+      node0 = 2*[2*(-1,0,0)/1 + 3*(0,-2,0)/2]        = (-4, -6, 0)
+      node1 = 2*[2*( 1,0,0)/1 + 5*(1,-2,0)/sqrt(5)]  = (4+2*sqrt5, -4*sqrt5, 0)
+      node2 = 2*[3*(0, 2,0)/2 + 5*(-1,2,0)/sqrt(5)]  = (-2*sqrt5, 6+4*sqrt5, 0)
+    (sums to zero — the score field is translation-free)."""
+    pos = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 2, 0]]])
+    s = np.zeros((1, 3, 3), np.float32)
+    s[0, 0, 1] = s[0, 1, 0] = 2.0
+    s[0, 0, 2] = s[0, 2, 0] = 3.0
+    s[0, 1, 2] = s[0, 2, 1] = 5.0
+    emask = jnp.asarray(~np.eye(3, dtype=bool)[None])
+    out = np.asarray(eq_transform(jnp.asarray(s), pos, emask))
+    r5 = math.sqrt(5.0)
+    expected = np.array(
+        [
+            [-4.0, -6.0, 0.0],
+            [4.0 + 2 * r5, -4 * r5, 0.0],
+            [-2 * r5, 6.0 + 4 * r5, 0.0],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(out[0], expected, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out[0].sum(axis=0), 0.0, atol=1e-5)
+
+
+class _StubScoreModel:
+    """Stands in for the score network: constant per-pair score on the full
+    off-diagonal edge set.  Lets the DDPM loss pipeline be recomputed with
+    explicit loops below."""
+
+    fused_score = False
+
+    def __init__(self, const):
+        self.const = const
+
+    def apply(self, params, atom_type, r_feat, p_feat, pos, bond_mat, node_mask):
+        from tsdiff_tpu.core.graph_ops import GraphEdges, pair_mask
+        from tsdiff_tpu.core.geometry import pairwise_distance
+
+        emask = pair_mask(node_mask)
+        d = pairwise_distance(pos, emask)
+        edge_inv = jnp.full((*emask.shape, 1), self.const, jnp.float32)
+        edges = GraphEdges(
+            mask_global=emask, mask_local=emask,
+            type_r=jnp.zeros(emask.shape, jnp.int32),
+            type_p=jnp.zeros(emask.shape, jnp.int32),
+        )
+        return edge_inv, edges, d
+
+
+def test_golden_ddpm_loss_constant_score():
+    """Full loss pipeline vs an explicit-loop recomputation of the paper
+    formulas (perturb -> d_target -> chain rule -> per-node sq error).  The
+    timestep is pinned via t0 = t1 - 1 (antithetic sampling degenerates to a
+    constant); the drawn noise is read back by replaying the key splits."""
+    from tsdiff_tpu.core.graph import ReactionBatch
+    from tsdiff_tpu.diffusion.objective import diffusion_loss
+
+    B, N = 1, 3
+    pos = np.array([[[0.0, 0, 0], [1.2, 0, 0], [0, 0.9, 0.5]]], np.float32)
+    batch = ReactionBatch(
+        atom_type=jnp.zeros((B, N), jnp.int32),
+        r_feat=jnp.zeros((B, N, 2), jnp.float32),
+        p_feat=jnp.zeros((B, N, 2), jnp.float32),
+        pos=jnp.asarray(pos),
+        bond_mat=jnp.zeros((B, N, N), jnp.int32),
+        node_mask=jnp.ones((B, N), bool),
+    )
+    T, t_fix = 10, 4
+    betas = np.linspace(0.01, 0.1, T)
+    alphas = np.cumprod(1.0 - betas).astype(np.float32)
+    schedule = DiffusionSchedule(
+        betas=jnp.asarray(betas, jnp.float32), alphas=jnp.asarray(alphas)
+    )
+    const = 0.7
+    key = jax.random.key(123)
+    loss, aux = diffusion_loss(
+        _StubScoreModel(const), {}, schedule, batch, key, t0=t_fix, t1=t_fix + 1
+    )
+    assert np.all(np.asarray(aux["timesteps"]) == t_fix)
+
+    # --- explicit-loop recomputation (no tsdiff_tpu functions) ---
+    _, key_eps = jax.random.split(key)
+    noise = np.asarray(jax.random.normal(key_eps, pos.shape))
+    a = float(alphas[t_fix])
+    pert = pos + noise * math.sqrt(1.0 - a) / math.sqrt(a)
+
+    def dist(p, i, j):
+        return math.sqrt(sum((p[0, i, k] - p[0, j, k]) ** 2 for k in range(3)))
+
+    node_eq = np.zeros((N, 3))
+    pos_target = np.zeros((N, 3))
+    for i in range(N):
+        for j in range(N):
+            if i == j:
+                continue
+            d_p = dist(pert, i, j)
+            d_g = dist(pos, i, j)
+            d_tgt = (d_g - d_p) / math.sqrt(1.0 - a) * math.sqrt(a)
+            for k in range(3):
+                dd_dr = (pert[0, i, k] - pert[0, j, k]) / d_p
+                # both edge directions contribute at node i (symmetric set)
+                node_eq[i, k] += 2.0 * dd_dr * const
+                pos_target[i, k] += 2.0 * dd_dr * d_tgt
+    expected = sum(
+        (node_eq[i, k] - pos_target[i, k]) ** 2 for i in range(N) for k in range(3)
+    ) / N
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-4)
+
+
+def test_golden_update_coefficients():
+    """LD and DDPM per-step affine coefficients on a 4-step hand schedule
+    (alphas 0.9, 0.8, 0.5, 0.2), transcribing reference sampler.py:215-244:
+
+      ld:   step = lr*(sigma/0.01)^2;  a=1, b=step/sigma, c=sqrt(2*step)
+      ddpm (scaled frame): with at=alphas[i], at_next=alphas[i-1] (1 at the
+      final step), beta=1-at/at_next, denom=(1-at)*sqrt(at_next):
+        a=(sqrt(at_next)*beta + sqrt(1-beta)*(1-at_next)*sqrt(at))/denom
+        b= sqrt(at_next)*beta*sqrt(1/at-1)/denom,  c=sqrt(beta/at_next)
+    """
+    alphas = np.array([0.9, 0.8, 0.5, 0.2], np.float32)
+    schedule = DiffusionSchedule(
+        betas=jnp.zeros(4, jnp.float32), alphas=jnp.asarray(alphas)
+    )
+    lr = 1e-7
+
+    co = build_step_coeffs(schedule, SamplingSettings("ld", n_steps=4, step_lr=lr))
+    # walked i = 3, 2, 1, 0 (descending)
+    for k, i in enumerate([3, 2, 1, 0]):
+        sig = math.sqrt(1 - alphas[i]) / math.sqrt(alphas[i])
+        step = lr * (sig / 0.01) ** 2
+        assert co.a[k] == 1.0
+        np.testing.assert_allclose(co.b[k], step / sig, rtol=1e-5)
+        np.testing.assert_allclose(co.c[k], math.sqrt(2 * step), rtol=1e-5)
+
+    co = build_step_coeffs(schedule, SamplingSettings("ddpm", n_steps=4))
+    for k, i in enumerate([3, 2, 1, 0]):
+        at = float(alphas[i])
+        at_next = float(alphas[i - 1]) if i > 0 else 1.0
+        beta = 1 - at / at_next
+        denom = (1 - at) * math.sqrt(at_next)
+        a = (math.sqrt(at_next) * beta + math.sqrt(1 - beta) * (1 - at_next) * math.sqrt(at)) / denom
+        b = math.sqrt(at_next) * beta * math.sqrt(1 / at - 1) / denom
+        c = math.sqrt(beta) / math.sqrt(at_next) if i != 0 else 0.0
+        np.testing.assert_allclose(co.a[k], a, rtol=1e-5, err_msg=f"a at i={i}")
+        np.testing.assert_allclose(co.b[k], b, rtol=1e-5, err_msg=f"b at i={i}")
+        np.testing.assert_allclose(co.c[k], c, rtol=1e-5, atol=1e-8, err_msg=f"c at i={i}")

@@ -225,7 +225,8 @@ def main(argv=None):
             batch, res, settings = sample_batch(graphs, clip)
             if not bool(res.nan_detected):
                 break
-            logger.warning("NaN detected; retrying with clipping thresh 20.")
+            if attempt == 0:
+                logger.warning("NaN detected; retrying with clipping thresh 20.")
         nan_persisted = bool(res.nan_detected)
         if nan_persisted:
             logger.error(
