@@ -99,6 +99,11 @@ def main(argv=None):
         model_cfg.fused_score = True
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model = get_model(model_cfg, dtype=dtype)
+    if args.fused_score and not hasattr(model, "fused_score"):
+        logger.warning(
+            "--fused_score only applies to condensenc models; ignored for %s",
+            type(model).__name__,
+        )
     schedule = (
         DiffusionSchedule.from_config(model_cfg)
         if "beta_schedule" in model_cfg

@@ -52,13 +52,64 @@ def make_score_fn(model, params, batch: ReactionBatch) -> ScoreFn:
     return score
 
 
+def make_packed_ensemble_eps_fn(model, stacked_params, batch: ReactionBatch):
+    """Offset-packed ensemble fast path: returns a function pos -> node_eq
+    (the per-atom score BEFORE clip_norm), marked ``returns_node_eq`` so the
+    sampler skips its dense eq_transform.
+
+    Halves the pair-MLP FLOPs of the dense path (every pair tensor is
+    symmetric; see tsdiff_tpu/core/packed.py) and embeds bond types in-kernel
+    (no per-step HBM streaming of static embedding tensors).  Packed pair
+    structures and per-step masks/distances are member-invariant; only the
+    node states z and the weights are per-member (vmapped).
+    """
+    from tsdiff_tpu.core.packed import eq_transform_packed
+    from tsdiff_tpu.ops.pallas.condensed_score_packed import (
+        extract_weights_packed,
+        packed_score_pallas,
+    )
+
+    pp = model.precompute_packed_pairs(batch.bond_mat, batch.node_mask)
+    z_m = jax.vmap(
+        lambda p: model.apply(
+            p, batch.atom_type, batch.r_feat, batch.p_feat, batch.node_mask,
+            method="node_states",
+        )
+    )(stacked_params)
+    weights_m = jax.vmap(extract_weights_packed)(stacked_params)
+    interpret = jax.default_backend() != "tpu"
+    dtype = model.dtype or jnp.float32
+
+    def node_eq_fn(pos: jax.Array) -> jax.Array:
+        info = model.build_packed_pair_info(pos, batch.node_mask, pp)
+
+        def member(w, z):
+            return packed_score_pallas(
+                w, z, info.d_in, info.cmask,
+                pp.type_r_in, pp.type_p_in, pp.type_r_out, pp.type_p_out,
+                num_blocks=model.num_convs, dtype=dtype, interpret=interpret,
+            )
+
+        score = jnp.mean(jax.vmap(member)(weights_m, z_m), axis=0)
+        return eq_transform_packed(score, pos, info.m_eq, info.d_out)
+
+    node_eq_fn.returns_node_eq = True
+    return node_eq_fn
+
+
 def make_ensemble_score_fn(model, stacked_params, batch: ReactionBatch) -> ScoreFn:
     """Mean-of-members score (reference models/sampler.py:95-111) via vmap.
 
     The typed pair structures and the per-step radius mask / distances are
     member-invariant: computed once and broadcast into the member vmap
     (in_axes=None).
+
+    When the model is configured with ``fused_score=True`` this returns the
+    offset-packed fast path (``make_packed_ensemble_eps_fn``) — same contract
+    for the sampler, ~2x fewer pair-MLP FLOPs.
     """
+    if getattr(model, "fused_score", False):
+        return make_packed_ensemble_eps_fn(model, stacked_params, batch)
     pairs = model.precompute_pairs(batch.bond_mat, batch.node_mask)
     statics = jax.vmap(
         lambda p: model.apply(

@@ -214,11 +214,18 @@ def dynamic_sampling(
     pos0 = initial_position(schedule, settings, pos_init, key_init)
     pos0 = pos0 * node_mask[..., None].astype(pos0.dtype)
 
+    returns_node_eq = getattr(score_fn, "returns_node_eq", False)
+
     def step(carry, xs):
         pos, nan_flag, k = carry
         a_k, b_k, c_k = xs
-        edge_inv, emask, d = score_fn(pos)
-        node_eq = eq_transform(edge_inv, pos, emask, d)
+        if returns_node_eq:
+            # packed fast path: the score fn already chain-ruled to per-atom
+            # vectors (tsdiff_tpu/core/packed.eq_transform_packed)
+            node_eq = score_fn(pos)
+        else:
+            edge_inv, emask, d = score_fn(pos)
+            node_eq = eq_transform(edge_inv, pos, emask, d)
         eps_pos = clip_norm(node_eq, limit=settings.clip)
 
         noise = jax.random.normal(

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 import dataclasses
+from typing import NamedTuple
 
 from tsdiff_tpu.core.geometry import pairwise_distance
 from tsdiff_tpu.core.graph_ops import (
@@ -40,6 +41,13 @@ from tsdiff_tpu.core.graph_ops import (
     StaticPairs,
     precompute_static_pairs,
     radius_edge_mask,
+)
+from tsdiff_tpu.core.packed import (
+    PackedPairs,
+    half_last_slab_mask,
+    pack_static_pairs,
+    packed_distance,
+    packed_valid_mask,
 )
 from tsdiff_tpu.models.activations import activation_loader
 from tsdiff_tpu.models.edge import GaussianSmearingEdgeEncoder, MLPEdgeEncoder
@@ -88,6 +96,15 @@ class StaticFeatures:
     emb_p_in: jax.Array
     emb_r_out: jax.Array  # (B, N, N, H) at the output-head edge order
     emb_p_out: jax.Array
+
+
+class PackedPairInfo(NamedTuple):
+    """Member-invariant per-step quantities in offset-packed layout."""
+
+    d_in: jax.Array    # (B, K, N) masked distances, encoder edge set
+    cmask: jax.Array   # (B, K, N) float cutoff & encoder mask & 0.5-last-slab
+    d_out: jax.Array   # (B, K, N) masked distances, output-head edge set
+    m_eq: jax.Array    # (B, K, N) float output mask & 0.5-last-slab (for eq)
 
 
 class EdgeCat(nn.Module):
@@ -229,6 +246,22 @@ class CondenseEncoderEpsNetwork(nn.Module):
         attr_p = self.edge_enc(edge_length[..., None], type_p)
         return self.edge_cat(jnp.concatenate([attr_r, attr_p], axis=-1))
 
+    def node_states(
+        self,
+        atom_type: jax.Array,
+        r_feat: jax.Array,
+        p_feat: jax.Array,
+        node_mask: jax.Array,
+    ) -> jax.Array:
+        """Condensed node states z = [a + af_r, af_p - af_r]
+        (reference condensenc.py:192-198); position-independent."""
+        dt = self.dtype or jnp.float32
+        a_emb = self.atom_embedding(atom_type)
+        af_r = self.atom_feat_embedding(r_feat.astype(dt))
+        af_p = self.atom_feat_embedding(p_feat.astype(dt))
+        z = jnp.concatenate([a_emb + af_r, af_p - af_r], axis=-1)
+        return z * node_mask[..., None].astype(z.dtype)
+
     def precompute_static(
         self,
         atom_type: jax.Array,
@@ -241,13 +274,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
 
         Call as ``model.apply(params, ..., method="precompute_static")``.
         """
-        dt = self.dtype or jnp.float32
-        a_emb = self.atom_embedding(atom_type)
-        af_r = self.atom_feat_embedding(r_feat.astype(dt))
-        af_p = self.atom_feat_embedding(p_feat.astype(dt))
-        z = jnp.concatenate([a_emb + af_r, af_p - af_r], axis=-1)
-        z = z * node_mask[..., None].astype(z.dtype)
-
+        z = self.node_states(atom_type, r_feat, p_feat, node_mask)
         pairs = self.precompute_pairs(bond_mat, node_mask)
         emb = self.edge_enc.bond_embedding
         return StaticFeatures(
@@ -257,6 +284,80 @@ class CondenseEncoderEpsNetwork(nn.Module):
             emb_p_in=emb(pairs.type_p_in),
             emb_r_out=emb(pairs.type_r_out),
             emb_p_out=emb(pairs.type_p_out),
+        )
+
+    # ---- offset-packed fast path (sampling; tsdiff_tpu/core/packed.py) ----
+
+    def precompute_packed_pairs(self, bond_mat, node_mask) -> PackedPairs:
+        """Offset-packed typed pair structures; member-invariant, once per
+        batch.  Needs no parameters (bond types are embedded in-kernel)."""
+        return pack_static_pairs(self.precompute_pairs(bond_mat, node_mask))
+
+    def build_packed_pair_info(
+        self, pos: jax.Array, node_mask: jax.Array, pp: PackedPairs
+    ) -> PackedPairInfo:
+        """Per-step member-invariant packed masks/distances — the packed
+        counterpart of ``build_pair_info``.  The 0.5 factor on the k = N/2
+        slab (whose rows cover each unordered pair twice) rides inside the
+        float masks used for sum-aggregation."""
+        n = pos.shape[1]
+        valid = packed_valid_mask(node_mask)
+        d_raw = packed_distance(pos, valid)
+        mask_radius = valid & (d_raw <= self.edge_cutoff)
+        half = half_last_slab_mask(n)[None]  # (1, K, 1)
+
+        mask_in = pp.mask_local_in | mask_radius
+        d_in = jnp.where(mask_in, d_raw, 1.0)
+        cmask = ((d_in <= self.cutoff) & mask_in).astype(jnp.float32) * half
+
+        if self.pred_edge_order == self.edge_order:
+            mask_out, d_out = mask_in, d_in
+        else:
+            mask_out = pp.mask_local_out | mask_radius
+            d_out = jnp.where(mask_out, d_raw, 1.0)
+        m_eq = mask_out.astype(jnp.float32) * half
+        return PackedPairInfo(d_in=d_in, cmask=cmask, d_out=d_out, m_eq=m_eq)
+
+    def score_step_packed(
+        self,
+        pos: jax.Array,
+        node_mask: jax.Array,
+        z: jax.Array,
+        pp: PackedPairs,
+        pair_info: PackedPairInfo | None = None,
+        interpret: bool | None = None,
+    ) -> jax.Array:
+        """Offset-packed fused score step: returns packed edge_inv (B, K, N)
+        float32 — HALF the pair-MLP FLOPs of ``score_step``.  Chain-rule with
+        core.packed.eq_transform_packed(out, pos, pair_info.m_eq,
+        pair_info.d_out).  Call via ``model.apply(params, ...,
+        method="score_step_packed")``."""
+        assert self.edge_encoder == "mlp", "packed score requires the MLP edge encoder"
+        assert not self.smooth_conv, "packed score requires the hard cutoff"
+        assert self.mlp_act == "swish" and self.edge_cat_act == "swish"
+        from tsdiff_tpu.ops.pallas.condensed_score_packed import (
+            extract_weights_packed,
+            packed_score_pallas,
+        )
+
+        if pair_info is None:
+            pair_info = self.build_packed_pair_info(pos, node_mask, pp)
+        if interpret is None:
+            # the Mosaic kernel needs a TPU; everywhere else (CPU tests, CLI
+            # smoke runs) the interpreter executes the same program
+            interpret = jax.default_backend() != "tpu"
+        return packed_score_pallas(
+            extract_weights_packed(self.variables),
+            z,
+            pair_info.d_in,
+            pair_info.cmask,
+            pp.type_r_in,
+            pp.type_p_in,
+            pp.type_r_out,
+            pp.type_p_out,
+            num_blocks=self.num_convs,
+            dtype=self.dtype or jnp.float32,
+            interpret=interpret,
         )
 
     def score_step(
