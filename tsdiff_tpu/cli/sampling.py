@@ -65,6 +65,11 @@ def main(argv=None):
     parser.add_argument("--fused_score", action="store_true", default=False,
                         help="fully-fused Pallas score kernel (condensenc + mlp edge encoder only; "
                              "fastest with --dtype bfloat16)")
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="'DP,ENS' device-mesh shape for multi-chip sampling, '1,1' to "
+                             "disable, or 'auto' (default): ENS = gcd(#devices, #ckpts) with "
+                             "the rest as data parallelism. Members shard over ENS, the batch "
+                             "over DP; XLA inserts the score-mean reduction over ICI.")
     args = parser.parse_args(argv)
 
     import jax
@@ -114,6 +119,32 @@ def main(argv=None):
     )
     seed_all(args.seed)
 
+    # Device mesh (SURVEY.md section 2.10: member-per-device ensemble sharding +
+    # batch data-parallelism — capability the reference lacks entirely).
+    import math as _math
+
+    from tsdiff_tpu.parallel import make_mesh, shard_batch, shard_ensemble_params
+
+    n_devices = len(jax.devices())
+    if args.mesh == "auto":
+        ens_axis = _math.gcd(n_devices, len(cks))
+        dp_axis = n_devices // ens_axis
+    else:
+        dp_axis, ens_axis = (int(x) for x in args.mesh.split(","))
+    mesh = None
+    if dp_axis * ens_axis > 1:
+        if len(cks) % ens_axis:
+            raise SystemExit(
+                f"--mesh {dp_axis},{ens_axis}: {len(cks)} checkpoints not divisible "
+                f"by ens={ens_axis}"
+            )
+        mesh = make_mesh(dp=dp_axis, ens=ens_axis)
+        stacked = shard_ensemble_params(stacked, mesh)
+        logger.info(
+            "Sampling on a (dp=%d, ens=%d) device mesh (%d devices)",
+            dp_axis, ens_axis, dp_axis * ens_axis,
+        )
+
     # Test set
     logger.info("Loading test set...")
     if args.test_set.endswith(".txt"):
@@ -144,8 +175,15 @@ def main(argv=None):
     buckets = default_buckets(max(int(g["atom_type"].shape[0]) for g in test_set))
 
     def sample_batch(graphs: list[dict], clip: float):
-        n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in graphs)
-        batch = from_numpy_graphs(graphs, max_nodes=n_pad)
+        # pad the batch to a multiple of dp (duplicates of the last reaction;
+        # dropped when unbatching) so the leading axis shards evenly
+        gpad = list(graphs)
+        if mesh is not None and len(gpad) % dp_axis:
+            gpad += [graphs[-1]] * (dp_axis - len(gpad) % dp_axis)
+        n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in gpad)
+        batch = from_numpy_graphs(gpad, max_nodes=n_pad)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         settings = SamplingSettings(
             sampling_type=args.sampling_type,
             n_steps=args.n_steps,
@@ -158,9 +196,9 @@ def main(argv=None):
         )
         if args.from_ts_guess:
             assert args.denoise_from_time_t is not None
-            guess_key = "ts_guess" if "ts_guess" in graphs[0] else "pos"
-            guesses = [g[guess_key] for g in graphs]
-            pos_init = np.zeros((len(graphs), n_pad, 3), np.float32)
+            guess_key = "ts_guess" if "ts_guess" in gpad[0] else "pos"
+            guesses = [g[guess_key] for g in gpad]
+            pos_init = np.zeros((len(gpad), n_pad, 3), np.float32)
             for b, g in enumerate(guesses):
                 pos_init[b, : len(g)] = g
             start_t = (
@@ -172,8 +210,12 @@ def main(argv=None):
             pos_init = jnp.asarray(pos_init) / sqrt_a
         else:
             pos_init = jax.random.normal(
-                jax.random.key(args.seed + len(results)), (len(graphs), n_pad, 3)
+                jax.random.key(args.seed + len(results)), (len(gpad), n_pad, 3)
             )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pos_init = jax.device_put(pos_init, NamedSharding(mesh, P("dp")))
         key = jax.random.key(args.seed * 7919 + len(results))
         from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
 

@@ -55,7 +55,12 @@ def _roll(x, shift: int, axis: int, interpret: bool):
     interpret mode."""
     if interpret:
         return jnp.roll(x, shift, axis)
-    return pltpu.roll(x, shift, axis)
+    # pltpu.roll requires a non-negative shift; -k == +(n - k) circularly.
+    # Mosaic only rotates 32-bit data — bf16 rolls go through f32 (lossless).
+    s = shift % x.shape[axis]
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, s, axis)
+    return pltpu.roll(x.astype(jnp.float32), s, axis).astype(x.dtype)
 
 
 def _score_kernel(
