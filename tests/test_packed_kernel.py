@@ -114,6 +114,30 @@ def test_packed_ensemble_node_eq_matches_dense(setup):
     )
 
 
+def test_packed_ensemble_under_device_mesh(setup):
+    """The packed fast path composes with (dp, ens) sharding: identical
+    node_eq on the virtual 8-device mesh (members over ens, batch over dp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tsdiff_tpu.parallel import make_mesh, shard_batch, shard_ensemble_params
+
+    model, params, batch = setup
+    stacked = stack_params([params, jax.tree_util.tree_map(lambda x: x * 1.1, params)])
+    pos = jax.random.normal(jax.random.key(1), batch.pos.shape)
+
+    ref = np.asarray(
+        jax.jit(lambda p: make_packed_ensemble_eps_fn(model, stacked, batch)(p))(pos)
+    )
+    mesh = make_mesh(dp=4, ens=2)
+    bs = shard_batch(batch, mesh)
+    ss = shard_ensemble_params(stacked, mesh)
+    pos_sh = jax.device_put(pos, NamedSharding(mesh, P("dp")))
+    out = np.asarray(
+        jax.jit(lambda p: make_packed_ensemble_eps_fn(model, ss, bs)(p))(pos_sh)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_sampler_packed_equals_dense(setup):
     """End-to-end: dynamic_sampling with the packed ensemble path equals the
     dense path under identical keys (f32, short run)."""

@@ -57,6 +57,15 @@ def _require_rdkit():
         ) from e
 
 
+def _mol_smiles(mol) -> str:
+    try:
+        from rdkit import Chem
+
+        return Chem.MolToSmiles(mol)
+    except Exception:
+        return getattr(mol, "smiles", "")
+
+
 def _atom_features(atom, feat_dict: dict) -> list[int]:
     codes = []
     for getter, vocab in feat_dict.items():
@@ -79,16 +88,18 @@ def generate_ts_data(
     (call :func:`one_hot_features` afterwards), pos (n,3), edge_index (2,E),
     edge_type (E,) condensed, smiles.
     """
-    Chem = _require_rdkit()
     if feat_dict is None:
         feat_dict = default_feat_dict()
 
     if isinstance(r_smarts, str) and isinstance(p_smarts, str):
+        Chem = _require_rdkit()
         r = Chem.MolFromSmarts(r_smarts)
         p = Chem.MolFromSmarts(p_smarts)
         Chem.SanitizeMol(r)
         Chem.SanitizeMol(p)
     else:
+        # mol objects passed directly: only the duck-typed Mol/Atom/Bond API
+        # below is used (RDKit not required — enables RDKit-free fixtures)
         r, p = r_smarts, p_smarts
     n = r.GetNumAtoms()
     assert p.GetNumAtoms() == n, "R and P atom counts differ"
@@ -116,8 +127,16 @@ def generate_ts_data(
     r_feat = np.array([_atom_features(r_atoms[i], feat_dict) for i in r_perm_inv])
     p_feat = np.array([_atom_features(p_atoms[i], feat_dict) for i in p_perm_inv])
 
-    r_adj = Chem.rdmolops.GetAdjacencyMatrix(r)
-    p_adj = Chem.rdmolops.GetAdjacencyMatrix(p)
+    def adjacency(mol):
+        # == Chem.rdmolops.GetAdjacencyMatrix, via the bond list (duck-typed)
+        adj = np.zeros((n, n), dtype=np.int64)
+        for b in mol.GetBonds():
+            i, j = b.GetBeginAtomIdx(), b.GetEndAtomIdx()
+            adj[i, j] = adj[j, i] = 1
+        return adj
+
+    r_adj = adjacency(r)
+    p_adj = adjacency(p)
     r_adj = r_adj[r_perm_inv][:, r_perm_inv]
     p_adj = p_adj[p_perm_inv][:, p_perm_inv]
     union = r_adj + p_adj
@@ -141,8 +160,8 @@ def generate_ts_data(
         pos=pos.astype(np.float32),
         edge_index=edge_index,
         edge_type=edge_type,
-        smiles=f"{r_smarts if isinstance(r_smarts, str) else Chem.MolToSmiles(r)}"
-        f">>{p_smarts if isinstance(p_smarts, str) else Chem.MolToSmiles(p)}",
+        smiles=f"{r_smarts if isinstance(r_smarts, str) else _mol_smiles(r)}"
+        f">>{p_smarts if isinstance(p_smarts, str) else _mol_smiles(p)}",
     )
     return graph, feat_dict
 
