@@ -138,6 +138,60 @@ def test_packed_ensemble_under_device_mesh(setup):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_packed_xla_twin_matches_kernel(setup):
+    """ops/packed_score_xla.py is the kernel's independent same-layout oracle:
+    identical packed scores (f32, interpret mode)."""
+    from tsdiff_tpu.ops.packed_score_xla import packed_score_xla
+    from tsdiff_tpu.ops.pallas.condensed_score_packed import extract_weights_packed
+
+    model, params, batch = setup
+    pp = model.precompute_packed_pairs(batch.bond_mat, batch.node_mask)
+    z = model.apply(
+        params, batch.atom_type, batch.r_feat, batch.p_feat, batch.node_mask,
+        method="node_states",
+    )
+    info = model.build_packed_pair_info(jnp.asarray(batch.pos), batch.node_mask, pp)
+    kernel_out = model.apply(
+        params, jnp.asarray(batch.pos), batch.node_mask, z, pp,
+        method="score_step_packed", interpret=True,
+    )
+    xla_out = packed_score_xla(
+        extract_weights_packed(params), z, info.d_in, info.cmask,
+        pp.type_r_in, pp.type_p_in, pp.type_r_out, pp.type_p_out,
+        num_blocks=model.num_convs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(xla_out), np.asarray(kernel_out), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_packed_train_loss_and_grads_match_dense(setup):
+    """packed_train=True: identical loss and gradients to the dense objective
+    (the 2x pair-FLOP training cut changes nothing numerically)."""
+    from tsdiff_tpu.diffusion.objective import diffusion_loss
+
+    model, params, batch = setup
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    packed = model.clone(packed_train=True)
+
+    def loss_of(mdl):
+        return lambda p: diffusion_loss(mdl, p, schedule, batch, jax.random.key(7))[0]
+
+    l_dense = float(loss_of(model)(params))
+    l_packed = float(loss_of(packed)(params))
+    np.testing.assert_allclose(l_packed, l_dense, rtol=1e-5)
+
+    g_dense = jax.grad(loss_of(model))(params)
+    g_packed = jax.grad(loss_of(packed))(params)
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_dense),
+        jax.tree_util.tree_leaves_with_path(g_packed),
+    ):
+        a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a64 - b64) / (np.linalg.norm(a64) + 1e-12)
+        assert rel < 1e-5, (ka, rel)
+
+
 def test_sampler_packed_equals_dense(setup):
     """End-to-end: dynamic_sampling with the packed ensemble path equals the
     dense path under identical keys (f32, short run)."""

@@ -74,22 +74,46 @@ def diffusion_loss(
     pos_perturbed = batch.pos + noise * jnp.sqrt(1.0 - a_pos) / jnp.sqrt(a_pos)
     pos_perturbed = pos_perturbed * node_mask_f
 
-    edge_inv, edges, d_perturbed = model.apply(
-        params,
-        batch.atom_type,
-        batch.r_feat,
-        batch.p_feat,
-        pos_perturbed,
-        batch.bond_mat,
-        batch.node_mask,
-    )
-    emask = edges.mask_global
-    node_eq = eq_transform(edge_inv, pos_perturbed, emask, d_perturbed)
+    a_edge = a[:, None, None]  # broadcast over the pair grid
+    if getattr(model, "packed_train", False):
+        # offset-packed forward + chain rule (2x pair-FLOP cut; identical
+        # semantics, parity-tested against the dense path)
+        from tsdiff_tpu.core.packed import eq_transform_packed, packed_distance
 
-    d_gt = pairwise_distance(batch.pos, emask)
-    a_edge = a[:, None, None]  # broadcast over the (N, N) pair grid
-    d_target = (d_gt - d_perturbed) / jnp.sqrt(1.0 - a_edge) * jnp.sqrt(a_edge)
-    pos_target = eq_transform(d_target, pos_perturbed, emask, d_perturbed)
+        pp = model.precompute_packed_pairs(batch.bond_mat, batch.node_mask)
+
+        def fwd(mdl):
+            z = mdl.node_states(
+                batch.atom_type, batch.r_feat, batch.p_feat, batch.node_mask
+            )
+            return mdl.score_step_packed_xla(
+                pos_perturbed, batch.node_mask, z, pp
+            )
+
+        score, info = model.apply(params, method=fwd)
+        node_eq = eq_transform_packed(score, pos_perturbed, info.m_eq, info.d_out)
+        mask_out = info.m_eq > 0
+        d_gt = packed_distance(batch.pos, mask_out)
+        d_target = (d_gt - info.d_out) / jnp.sqrt(1.0 - a_edge) * jnp.sqrt(a_edge)
+        pos_target = eq_transform_packed(
+            d_target, pos_perturbed, info.m_eq, info.d_out
+        )
+    else:
+        edge_inv, edges, d_perturbed = model.apply(
+            params,
+            batch.atom_type,
+            batch.r_feat,
+            batch.p_feat,
+            pos_perturbed,
+            batch.bond_mat,
+            batch.node_mask,
+        )
+        emask = edges.mask_global
+        node_eq = eq_transform(edge_inv, pos_perturbed, emask, d_perturbed)
+
+        d_gt = pairwise_distance(batch.pos, emask)
+        d_target = (d_gt - d_perturbed) / jnp.sqrt(1.0 - a_edge) * jnp.sqrt(a_edge)
+        pos_target = eq_transform(d_target, pos_perturbed, emask, d_perturbed)
 
     loss_node = jnp.sum((node_eq - pos_target) ** 2, axis=-1)  # (B, N)
     mask = batch.node_mask.astype(loss_node.dtype)

@@ -137,6 +137,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
     smooth_conv: bool = False
     use_pallas: bool = False   # fused interaction-stack kernel (inference path)
     fused_score: bool = False  # fully-fused score_step kernel (sampling path)
+    packed_train: bool = False  # offset-packed XLA forward in training (2x pair FLOPs)
     dtype: jax.typing.DTypeLike | None = None
 
     @classmethod
@@ -159,6 +160,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
             smooth_conv=enc.smooth_conv,
             use_pallas=config.get("use_pallas", False),
             fused_score=config.get("fused_score", False),
+            packed_train=config.get("packed_train", False),
             dtype=dtype,
         )
 
@@ -359,6 +361,40 @@ class CondenseEncoderEpsNetwork(nn.Module):
             dtype=self.dtype or jnp.float32,
             interpret=interpret,
         )
+
+    def score_step_packed_xla(
+        self,
+        pos: jax.Array,
+        node_mask: jax.Array,
+        z: jax.Array,
+        pp: PackedPairs,
+        pair_info: PackedPairInfo | None = None,
+    ) -> tuple[jax.Array, PackedPairInfo]:
+        """Differentiable packed score (ops/packed_score_xla.py): same 2x
+        pair-FLOP cut as the Pallas kernel, in plain XLA — used by the packed
+        TRAINING objective and as the kernel's same-layout oracle."""
+        assert self.edge_encoder == "mlp" and not self.smooth_conv
+        assert self.mlp_act == "swish" and self.edge_cat_act == "swish"
+        from tsdiff_tpu.ops.packed_score_xla import packed_score_xla
+        from tsdiff_tpu.ops.pallas.condensed_score_packed import (
+            extract_weights_packed,
+        )
+
+        if pair_info is None:
+            pair_info = self.build_packed_pair_info(pos, node_mask, pp)
+        score = packed_score_xla(
+            extract_weights_packed(self.variables),
+            z,
+            pair_info.d_in,
+            pair_info.cmask,
+            pp.type_r_in,
+            pp.type_p_in,
+            pp.type_r_out,
+            pp.type_p_out,
+            num_blocks=self.num_convs,
+            dtype=self.dtype or jnp.float32,
+        )
+        return score, pair_info
 
     def score_step(
         self,

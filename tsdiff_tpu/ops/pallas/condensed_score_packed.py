@@ -180,9 +180,12 @@ def packed_score_pallas(
     H = z.shape[-1]
     P = K * N
     if graphs_per_step is None:
-        # same rows-per-grid-step sweet spot as the dense kernel (~<=2900)
+        # rows-per-grid-step sweet spot, measured on v5e (N=24: G=10 6.11ms
+        # vs G=4 6.38 / G=20 6.38; N=16: G=25 2.74ms vs G=10 2.79); small
+        # buckets (N=8: 32 rows/graph) want much larger G
         graphs_per_step = max(
-            (g for g in (10, 8, 6, 5, 4, 3, 2, 1) if g * P <= 2900), default=1
+            (g for g in (100, 50, 25, 20, 10, 8, 6, 5, 4, 3, 2, 1) if g * P <= 3300),
+            default=1,
         )
     G = graphs_per_step
     while B % G != 0:
