@@ -1,0 +1,272 @@
+"""Protein PDB pipeline: parsing, template bonds, sidechain flags, subgraph
+sampling, and sidechain-mode losses/samplers.
+
+Capability under test mirrors reference utils/datasets.py:223-328
+(``pdb_to_data``), :1129-1208 (``SidechainConformationDataset``) and the
+``is_sidechain`` paths of models/epsnet/dualenc.py (radius restriction
+common.py:343-368, train-edge mask dualenc.py:1226-1233, backbone pinning
+dualenc.py:796-797 and 956-957).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tsdiff_tpu.chem import BOND_TYPES
+from tsdiff_tpu.config import Config
+from tsdiff_tpu.core.graph import from_numpy_graphs
+from tsdiff_tpu.data.pdb import (
+    SidechainConformationDataset,
+    pack_sidechain_mask,
+    parse_pdb,
+    pdb_to_graph,
+    sample_sidechain_subgraph,
+)
+from tsdiff_tpu.diffusion.dual_objective import (
+    dsm_annealed_sampling,
+    dual_dsm_loss,
+    dual_dynamic_sampling,
+    is_train_edge_mask,
+)
+from tsdiff_tpu.diffusion.sampler import SamplingSettings
+from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+from tsdiff_tpu.models import get_model
+
+
+def _atom_line(serial, name, resname, chain, resnum, x, y, z, element):
+    nm = f" {name:<3s}" if len(name) < 4 else name
+    return (
+        f"ATOM  {serial:>5d} {nm:<4s} {resname:<3s} {chain}{resnum:>4d}    "
+        f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}          {element:>2s}"
+    )
+
+
+def dipeptide_pdb():
+    """ALA-SER dipeptide, plausible coordinates, heavy atoms only."""
+    rows = [
+        # ALA 1
+        ("N", "ALA", 1, (0.0, 0.0, 0.0), "N"),
+        ("CA", "ALA", 1, (1.46, 0.0, 0.0), "C"),
+        ("C", "ALA", 1, (2.0, 1.4, 0.0), "C"),
+        ("O", "ALA", 1, (1.3, 2.4, 0.0), "O"),
+        ("CB", "ALA", 1, (2.0, -0.8, -1.2), "C"),
+        # SER 2
+        ("N", "SER", 2, (3.3, 1.5, 0.0), "N"),
+        ("CA", "SER", 2, (4.0, 2.8, 0.0), "C"),
+        ("C", "SER", 2, (5.5, 2.6, 0.1), "C"),
+        ("O", "SER", 2, (6.1, 1.6, -0.3), "O"),
+        ("CB", "SER", 2, (3.6, 3.6, 1.25), "C"),
+        ("OG", "SER", 2, (2.2, 3.8, 1.3), "O"),
+        ("OXT", "SER", 2, (6.2, 3.6, 0.6), "O"),
+    ]
+    lines = [
+        _atom_line(i + 1, n, rn, "A", ri, *xyz, el)
+        for i, (n, rn, ri, xyz, el) in enumerate(rows)
+    ]
+    return "\n".join(lines) + "\nTER\nEND\n"
+
+
+def test_parse_pdb_columns():
+    atoms = parse_pdb(dipeptide_pdb())
+    assert len(atoms) == 12
+    assert atoms.name[:5] == ["N", "CA", "C", "O", "CB"]
+    assert atoms.resname[0] == "ALA" and atoms.resname[-1] == "SER"
+    assert atoms.element[10] == "O"
+    np.testing.assert_allclose(atoms.pos[1], [1.46, 0.0, 0.0], atol=1e-6)
+    assert atoms.resnum.tolist() == [1] * 5 + [2] * 7
+
+
+def test_pdb_to_graph_flags_and_bonds():
+    g = pdb_to_graph(dipeptide_pdb(), name="dipep")
+    assert g is not None
+    # backbone/sidechain split: CB (ALA), CB+OG (SER) are sidechain; OXT is not
+    assert g["is_sidechain"].tolist() == [
+        False, False, False, False, True,
+        False, False, False, False, True, True, False,
+    ]
+    assert g["is_alpha"].tolist() == [
+        False, True, False, False, False,
+        False, True, False, False, False, False, False,
+    ]
+    assert g["atom2res"].tolist() == [0] * 5 + [1] * 7
+    # each atom maps to its residue's CA
+    assert g["atom2alpha_index"].tolist() == [1] * 5 + [6] * 7
+    assert g["atom_type"].tolist() == [7, 6, 6, 8, 6, 7, 6, 6, 8, 6, 8, 8]
+
+    ei, et = g["edge_index"], g["edge_type"]
+    pairs = {(int(i), int(j)): int(t) for i, j, t in zip(ei[0], ei[1], et)}
+    S, D = BOND_TYPES["SINGLE"], BOND_TYPES["DOUBLE"]
+    assert pairs[(0, 1)] == S          # N-CA
+    assert pairs[(1, 4)] == S          # CA-CB
+    assert pairs[(2, 3)] == D          # C=O
+    assert pairs[(2, 5)] == S          # peptide C(1)-N(2)
+    assert pairs[(9, 10)] == S         # SER CB-OG
+    assert pairs[(7, 11)] == S         # C-OXT
+    assert (5, 9) not in pairs         # N-CB not bonded
+    # symmetric
+    for (i, j), t in pairs.items():
+        assert pairs[(j, i)] == t
+    # row-major sorted like the reference (utils/datasets.py:303-305)
+    keys = ei[0] * 12 + ei[1]
+    assert (np.diff(keys) >= 0).all()
+
+
+def test_gly_only_returns_none():
+    rows = [("N", "GLY", 1, (0, 0, 0), "N"), ("CA", "GLY", 1, (1.5, 0, 0), "C"),
+            ("C", "GLY", 1, (2, 1.4, 0), "C"), ("O", "GLY", 1, (1.3, 2.4, 0), "O")]
+    lines = [_atom_line(i + 1, n, rn, "A", ri, *xyz, el)
+             for i, (n, rn, ri, xyz, el) in enumerate(rows)]
+    assert pdb_to_graph("\n".join(lines)) is None
+
+
+def _protein_chain(n_res=6, seed=0):
+    """Synthetic ALA chain along x, one PDB text."""
+    rng = np.random.default_rng(seed)
+    lines, serial = [], 1
+    for r in range(1, n_res + 1):
+        base = np.array([3.5 * r, 0.0, 0.0])
+        for name, off, el in [
+            ("N", (0, 0, 0), "N"), ("CA", (1.4, 0, 0), "C"),
+            ("C", (2.1, 1.2, 0), "C"), ("O", (1.6, 2.3, 0), "O"),
+            ("CB", (1.8, -0.9, 1.2), "C"),
+        ]:
+            xyz = base + np.asarray(off) + rng.normal(scale=0.02, size=3)
+            lines.append(_atom_line(serial, name, "ALA", "A", r, *xyz, el))
+            serial += 1
+    return "\n".join(lines) + "\nEND\n"
+
+
+def test_subgraph_residue_completeness():
+    g = pdb_to_graph(_protein_chain(8))
+    rng = np.random.default_rng(1)
+    sub = sample_sidechain_subgraph(g, rng, cutoff=6.0)
+    assert sub is not None
+    # every kept residue is complete: 5 atoms per ALA residue
+    res, counts = np.unique(sub["atom2res"], return_counts=True)
+    assert (counts == 5).all()
+    assert sub["is_sidechain"].any()
+    # remapped edges are in-range and reference the same bond structure
+    ei = sub["edge_index"]
+    assert ei.min() >= 0 and ei.max() < len(sub["atom_type"])
+    # a small cutoff keeps a strict subset
+    assert len(sub["atom_type"]) < len(g["atom_type"])
+
+
+def test_subgraph_fix_deterministic():
+    g = pdb_to_graph(_protein_chain(8))
+    a = sample_sidechain_subgraph(g, np.random.default_rng(0), 6.0, fix_subgraph=True)
+    b = sample_sidechain_subgraph(g, np.random.default_rng(7), 6.0, fix_subgraph=True)
+    np.testing.assert_array_equal(a["atom_type"], b["atom_type"])
+    np.testing.assert_array_equal(a["edge_index"], b["edge_index"])
+
+
+def test_dataset_and_mask_packing():
+    g = pdb_to_graph(_protein_chain(8))
+    ds = SidechainConformationDataset([g, g], cutoff=6.0, seed=0)
+    subs = [ds[i] for i in range(len(ds))]
+    subs = [s for s in subs if s is not None]
+    n_pad = max(len(s["atom_type"]) for s in subs)
+    batch = from_numpy_graphs(subs, max_nodes=n_pad)
+    sc = pack_sidechain_mask(subs, n_pad)
+    assert sc.shape == (len(subs), n_pad)
+    # padding slots are backbone (False)
+    assert not sc[~np.asarray(batch.node_mask)].any()
+
+
+CFG_DSM = Config(dict(
+    network="dualenc", hidden_dim=16, num_convs=2, num_convs_local=2,
+    cutoff=10.0, mlp_act="relu", beta_schedule="sigmoid", beta_start=1e-7,
+    beta_end=2e-3, num_diffusion_timesteps=50, edge_order=3,
+    edge_encoder="mlp", smooth_conv=False, type="dsm",
+    sigma_begin=10.0, sigma_end=0.01, num_noise_level=10,
+))
+
+
+def _protein_batch(n_pad=16):
+    g = pdb_to_graph(_protein_chain(3))
+    batch = from_numpy_graphs([g], max_nodes=n_pad)
+    sc = jnp.asarray(pack_sidechain_mask([g], n_pad))
+    return batch, sc
+
+
+def test_is_train_edge_mask():
+    sc = jnp.asarray([[True, False, False]])
+    full = jnp.ones((1, 3, 3), bool)
+    m = is_train_edge_mask(full, sc)
+    # edges touching atom 0 train; the backbone-backbone (1,2) edge does not
+    assert m[0, 1, 2].item() is False and m[0, 2, 1].item() is False
+    assert m[0, 0, 1].item() is True and m[0, 2, 0].item() is True
+
+
+def test_dsm_loss_sidechain_mode():
+    batch, sc = _protein_batch()
+    model = get_model(CFG_DSM)
+    params = model.init(
+        jax.random.PRNGKey(0), batch.atom_type, batch.pos, batch.bond_mat,
+        batch.node_mask, time_step=jnp.zeros((1,), jnp.int32),
+    )
+    key = jax.random.PRNGKey(1)
+    loss_sc, _ = dual_dsm_loss(model, params, batch, key, is_sidechain=sc)
+    assert np.isfinite(float(loss_sc))
+    # all-sidechain mask degenerates to the unrestricted loss
+    loss_all, _ = dual_dsm_loss(
+        model, params, batch, key, is_sidechain=batch.node_mask
+    )
+    loss_none, _ = dual_dsm_loss(model, params, batch, key)
+    np.testing.assert_allclose(float(loss_all), float(loss_none), rtol=1e-6)
+
+
+def test_sampler_backbone_pinning():
+    batch, sc = _protein_batch()
+    schedule = DiffusionSchedule.from_config(CFG_DSM)
+    pos_gt = batch.pos
+
+    def eps_fn(pos, gate, time_step=None):
+        return jnp.ones_like(pos)  # constant drift: every free atom moves
+
+    settings = SamplingSettings(n_steps=5, sampling_type="ld")
+    pos, _, nan_flag = dual_dynamic_sampling(
+        eps_fn, schedule, batch.pos, batch.node_mask, jax.random.PRNGKey(0),
+        settings, is_sidechain=sc, pos_gt=pos_gt,
+    )
+    backbone = np.asarray(~sc & batch.node_mask)
+    np.testing.assert_array_equal(
+        np.asarray(pos)[backbone], np.asarray(pos_gt)[backbone]
+    )
+    moved = np.asarray(pos)[np.asarray(sc)] - np.asarray(pos_gt)[np.asarray(sc)]
+    assert np.abs(moved).max() > 0
+    assert not bool(nan_flag)
+
+    sigmas = np.geomspace(1.0, 0.01, 5)
+    pos2, _, _ = dsm_annealed_sampling(
+        eps_fn, sigmas, batch.pos, batch.node_mask, jax.random.PRNGKey(0),
+        n_steps=3, step_lr=1e-4, is_sidechain=sc, pos_gt=pos_gt,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pos2)[backbone], np.asarray(pos_gt)[backbone]
+    )
+
+
+def test_radius_restriction_in_model():
+    """With is_sidechain, non-bonded backbone-backbone pairs get no radius
+    edge (reference common.py:343-368)."""
+    batch, sc = _protein_batch()
+    model = get_model(CFG_DSM)
+    edges_full = model.build_edges(batch.bond_mat, batch.pos, batch.node_mask)
+    edges_sc = model.build_edges(
+        batch.bond_mat, batch.pos, batch.node_mask, is_sidechain=sc
+    )
+    mg_full = np.asarray(edges_full.mask_global)
+    mg_sc = np.asarray(edges_sc.mask_global)
+    scn = np.asarray(sc)
+    bb_pair = ~scn[:, :, None] & ~scn[:, None, :]
+    typed = np.asarray(edges_sc.mask_local)
+    # restricted is a subset of full; removed edges are exactly non-typed
+    # backbone-backbone pairs
+    assert (mg_sc <= mg_full).all()
+    removed = mg_full & ~mg_sc
+    assert removed.any()
+    assert (removed <= (bb_pair & ~typed)).all()
+    # typed (order-extended) edges always survive
+    assert (typed <= mg_sc).all()

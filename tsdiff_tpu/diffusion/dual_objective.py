@@ -66,8 +66,15 @@ def _branch_losses(
 def dual_diffusion_loss(
     model, params, schedule: DiffusionSchedule, batch: ReactionBatch, key,
     anneal_power: float = 2.0,
+    is_sidechain: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
-    """DDPM loss, (2*global + 5*local)/7 mix (reference dualenc.py:553-554)."""
+    """DDPM loss, (2*global + 5*local)/7 mix (reference dualenc.py:553-554).
+
+    ``is_sidechain`` (B, N) restricts the radius graph to sidechain-touching
+    pairs (reference dualenc.py:476 passes it into forward); the train-edge
+    distance replacement is commented out in the reference's diffusion loss
+    (dualenc.py:487-488) and is correspondingly not applied here — only the
+    DSM loss applies it."""
     key_t, key_eps = jax.random.split(key)
     G = batch.batch_size
     # legacy antithetic pairing: t2 = T - t - 1 (reference dualenc.py:446-451)
@@ -82,7 +89,8 @@ def dual_diffusion_loss(
     pos_perturbed = (batch.pos + noise * jnp.sqrt(1 - a_pos) / jnp.sqrt(a_pos)) * node_mask_f
 
     eg, el, edges, d_pert = model.apply(
-        params, batch.atom_type, pos_perturbed, batch.bond_mat, batch.node_mask
+        params, batch.atom_type, pos_perturbed, batch.bond_mat, batch.node_mask,
+        is_sidechain=is_sidechain,
     )
     d_gt = pairwise_distance(batch.pos, edges.mask_global)
     a_edge = a[:, None, None]
@@ -103,11 +111,23 @@ def dual_diffusion_loss(
     }
 
 
+def is_train_edge_mask(edges_mask: jax.Array, is_sidechain: jax.Array) -> jax.Array:
+    """(B, N, N) edges carrying a training signal: at least one endpoint is a
+    sidechain atom (reference dualenc.py:1226-1233 ``is_train_edge``)."""
+    sc = is_sidechain.astype(bool)
+    return edges_mask & (sc[:, :, None] | sc[:, None, :])
+
+
 def dual_dsm_loss(
-    model, params, batch: ReactionBatch, key, anneal_power: float = 2.0
+    model, params, batch: ReactionBatch, key, anneal_power: float = 2.0,
+    is_sidechain: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     """Annealed score-matching loss (reference dualenc.py:969-1100):
-    2*(1/2)|...|^2 sigma^p global + 5*(1/2)|...|^2 sigma^p local."""
+    2*(1/2)|...|^2 sigma^p global + 5*(1/2)|...|^2 sigma^p local.
+
+    Protein mode (``is_sidechain`` given): backbone-backbone edges carry no
+    denoising signal — their perturbed distance is replaced by the ground
+    truth (reference dualenc.py:626-628), zeroing d_target there."""
     key_t, key_eps = jax.random.split(key)
     G = batch.batch_size
     sigmas = jnp.asarray(model.sigmas)
@@ -124,9 +144,12 @@ def dual_dsm_loss(
 
     eg, el, edges, d_pert = model.apply(
         params, batch.atom_type, pos_perturbed, batch.bond_mat, batch.node_mask,
-        time_step=t,
+        time_step=t, is_sidechain=is_sidechain,
     )
     d_gt = pairwise_distance(batch.pos, edges.mask_global)
+    if is_sidechain is not None:
+        train_mask = is_train_edge_mask(edges.mask_global, is_sidechain)
+        d_pert = jnp.where(train_mask, d_pert, d_gt)
     s_edge = noise_levels[:, None, None]
     d_target = (d_gt - d_pert) / s_edge**2
 
@@ -150,6 +173,7 @@ def make_dual_eps_fn(
     clip: float = 1000.0,
     clip_local: float | None = None,
     schedule: DiffusionSchedule | None = None,
+    is_sidechain: jax.Array | None = None,
 ):
     """eps_pos(pos, sigma_gate) for the legacy dual-branch sampler step
     (reference dualenc.py:826-850): local score + gated, down-weighted,
@@ -159,7 +183,7 @@ def make_dual_eps_fn(
     def eps_fn(pos: jax.Array, sigma_gate: jax.Array, time_step=None) -> jax.Array:
         eg, el, edges, d = model.apply(
             params, batch.atom_type, pos, batch.bond_mat, batch.node_mask,
-            time_step=time_step,
+            time_step=time_step, is_sidechain=is_sidechain,
         )
         d_local = jnp.where(edges.mask_local, d, 1.0)
         node_eq_local = eq_transform(
@@ -183,9 +207,18 @@ def dual_dynamic_sampling(
     key: jax.Array,
     settings: SamplingSettings,
     global_start_sigma: float = float("inf"),
+    is_sidechain: jax.Array | None = None,
+    pos_gt: jax.Array | None = None,
 ):
     """Legacy diffusion sampling loop (reference dualenc.py:754-967) as a scan,
-    sharing the affine update coefficients with the production sampler."""
+    sharing the affine update coefficients with the production sampler.
+
+    Protein mode: with ``is_sidechain`` (B, N) and ``pos_gt`` (B, N, 3),
+    backbone atoms are pinned to the ground-truth coordinates at init and
+    after every step (reference dualenc.py:796-797, 956-957) — only
+    sidechain atoms diffuse."""
+    if is_sidechain is not None:
+        assert pos_gt is not None, "need crd of backbone for sidechain prediction"
     coeffs = build_step_coeffs(schedule, settings)
     sigmas = np.sqrt(1.0 - np.asarray(schedule.alphas, np.float64)) / np.sqrt(
         np.asarray(schedule.alphas, np.float64)
@@ -203,6 +236,11 @@ def dual_dynamic_sampling(
     pos0 = initial_position(schedule, settings, pos_init, key_init)
     pos0 = pos0 * node_mask[..., None].astype(pos_init.dtype)
 
+    sc3 = None
+    if is_sidechain is not None:
+        sc3 = (is_sidechain & node_mask)[..., None]
+        pos0 = jnp.where(sc3, pos0, pos_gt)
+
     B = pos_init.shape[0]
 
     def step(carry, xs):
@@ -211,8 +249,17 @@ def dual_dynamic_sampling(
         eps_pos = eps_fn(pos, g_k, time_step=jnp.full((B,), t_k))
         noise = jax.random.normal(jax.random.fold_in(key_scan, k), pos.shape, pos.dtype)
         pos_next = a_k * pos + b_k * eps_pos + c_k * noise
+        if sc3 is not None:
+            pos_next = jnp.where(sc3, pos_next, pos_gt)
         nan_flag = nan_flag | jnp.any(jnp.isnan(pos_next))
-        pos_next = center_pos(pos_next, node_mask)
+        if sc3 is None:
+            # Proteins keep the backbone frame: no recentering over pinned
+            # atoms.  (The reference recenters after the clamp,
+            # dualenc.py:961, then re-pins next step — a per-step centroid
+            # shift of the sidechains relative to the backbone that only
+            # stays benign because the shift is near zero; pinning without
+            # recentering removes the slop entirely.)
+            pos_next = center_pos(pos_next, node_mask)
         if settings.clip_pos is not None:
             pos_next = jnp.clip(pos_next, -settings.clip_pos, settings.clip_pos)
         out = pos_next if settings.save_traj else None
@@ -237,10 +284,18 @@ def dsm_annealed_sampling(
     clip_pos: float | None = None,
     save_traj: bool = False,
     global_start_sigma: float = float("inf"),
+    is_sidechain: jax.Array | None = None,
+    pos_gt: jax.Array | None = None,
 ):
     """Annealed Langevin over the sigma ladder (reference dualenc.py:1102-1203):
     for each sigma >= min_sigma, n_steps of
-    ``pos += step*eps + noise*sqrt(2*step)`` with step = step_lr*(sigma/sigma_L)^2."""
+    ``pos += step*eps + noise*sqrt(2*step)`` with step = step_lr*(sigma/sigma_L)^2.
+
+    Protein mode pins backbone atoms to ``pos_gt`` every step (reference
+    dualenc.py:956-957); see ``dual_dynamic_sampling`` for the recentering
+    note."""
+    if is_sidechain is not None:
+        assert pos_gt is not None, "need crd of backbone for sidechain prediction"
     sigmas = np.asarray(sigmas, dtype=np.float64)
     keep = sigmas >= min_sigma
     lvl = np.where(keep)[0]
@@ -259,14 +314,22 @@ def dsm_annealed_sampling(
     B = pos_init.shape[0]
     pos0 = pos_init * node_mask[..., None].astype(pos_init.dtype)
 
+    sc3 = None
+    if is_sidechain is not None:
+        sc3 = (is_sidechain & node_mask)[..., None]
+        pos0 = jnp.where(sc3, pos0, pos_gt)
+
     def step(carry, xs):
         pos, nan_flag, k = carry
         b_k, c_k, g_k, lv_k = xs
         eps_pos = eps_fn(pos, g_k, time_step=jnp.full((B,), lv_k))
         noise = jax.random.normal(jax.random.fold_in(key_scan, k), pos.shape, pos.dtype)
         pos_next = pos + b_k * eps_pos + c_k * noise
+        if sc3 is not None:
+            pos_next = jnp.where(sc3, pos_next, pos_gt)
         nan_flag = nan_flag | jnp.any(jnp.isnan(pos_next))
-        pos_next = center_pos(pos_next, node_mask)
+        if sc3 is None:
+            pos_next = center_pos(pos_next, node_mask)
         if clip_pos is not None:
             pos_next = jnp.clip(pos_next, -clip_pos, clip_pos)
         out = pos_next if save_traj else None

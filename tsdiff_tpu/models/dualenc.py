@@ -151,9 +151,14 @@ class DualEncoderEpsNetwork(nn.Module):
             self.edge_cat_global = EdgeCat(out_ch, self.edge_cat_act, dtype=self.dtype)
             self.edge_cat_local = EdgeCat(out_ch, self.edge_cat_act, dtype=self.dtype)
 
-    def build_edges(self, bond_mat, pos, node_mask, extend_order=True, extend_radius=True) -> DualEdges:
+    def build_edges(self, bond_mat, pos, node_mask, extend_order=True, extend_radius=True, is_sidechain=None) -> DualEdges:
         """Legacy edge construction on current coordinates
-        (reference models/common.py:387-417)."""
+        (reference models/common.py:387-417).
+
+        With ``is_sidechain`` (B, N) bool, radius edges are restricted to
+        pairs touching at least one sidechain atom (reference
+        models/common.py:343-368: radius neighbors are computed around
+        sidechain atoms only, then symmetrized)."""
         mask_typed, types = extend_graph_order(
             bond_mat, node_mask, self.edge_order
         ) if extend_order else (
@@ -161,7 +166,11 @@ class DualEncoderEpsNetwork(nn.Module):
             jnp.where(pair_mask(node_mask), bond_mat, 0).astype(jnp.int32),
         )
         if extend_radius:
-            mask_global = mask_typed | radius_edge_mask(pos, node_mask, self.cutoff)
+            rmask = radius_edge_mask(pos, node_mask, self.cutoff)
+            if is_sidechain is not None:
+                sc = is_sidechain & node_mask
+                rmask = rmask & (sc[:, :, None] | sc[:, None, :])
+            mask_global = mask_typed | rmask
         else:
             mask_global = mask_typed
         types = jnp.where(mask_global, types, 0)
@@ -188,6 +197,7 @@ class DualEncoderEpsNetwork(nn.Module):
         time_step: jax.Array | None = None,  # (B,) int, dsm only
         extend_order: bool = True,
         extend_radius: bool = True,
+        is_sidechain: jax.Array | None = None,  # (B, N) bool, protein mode
     ):
         """Forward (reference dualenc.py:206-374).
 
@@ -195,7 +205,9 @@ class DualEncoderEpsNetwork(nn.Module):
         edge_inv_local defined on the dense grid but meaningful only on
         ``edges.mask_local``.
         """
-        edges = self.build_edges(bond_mat, pos, node_mask, extend_order, extend_radius)
+        edges = self.build_edges(
+            bond_mat, pos, node_mask, extend_order, extend_radius, is_sidechain
+        )
         d = pairwise_distance(pos, edges.mask_global)
 
         if self.model_type == "dsm":
