@@ -18,12 +18,14 @@ from tsdiff_tpu.config import Config
 from tsdiff_tpu.core.graph import from_numpy_graphs
 from tsdiff_tpu.data.pdb import (
     SidechainConformationDataset,
+    cover_protein_with_subgraphs,
     pack_sidechain_mask,
     parse_pdb,
     pdb_to_graph,
     sample_sidechain_subgraph,
 )
 from tsdiff_tpu.diffusion.dual_objective import (
+    accumulate_protein_eps,
     dsm_annealed_sampling,
     dual_dsm_loss,
     dual_dynamic_sampling,
@@ -246,6 +248,42 @@ def test_sampler_backbone_pinning():
     np.testing.assert_array_equal(
         np.asarray(pos2)[backbone], np.asarray(pos_gt)[backbone]
     )
+
+
+def test_cover_protein_with_subgraphs():
+    g = pdb_to_graph(_protein_chain(12, seed=2))
+    subs = cover_protein_with_subgraphs(g, np.random.default_rng(0), cutoff=6.0)
+    assert len(subs) >= 2  # 12 residues along x at 3.5 A spacing > one ball
+    # every alpha carbon is in some subgraph (full coverage)
+    covered = np.zeros(len(g["atom_type"]), bool)
+    for s in subs:
+        covered[s["mapping"]] = True
+        # residue-complete
+        _, counts = np.unique(s["atom2res"], return_counts=True)
+        assert (counts == 5).all()
+        assert s["is_sidechain"].any()
+    assert covered[np.asarray(g["is_alpha"], bool)].all()
+
+
+def test_accumulate_protein_eps():
+    g = pdb_to_graph(_protein_chain(12, seed=2))
+    model = get_model(CFG_DSM)
+    n_pad = 16
+    batch = from_numpy_graphs([g], max_nodes=80)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch.atom_type[:, :n_pad], batch.pos[:, :n_pad],
+        batch.bond_mat[:, :n_pad, :n_pad], batch.node_mask[:, :n_pad],
+        time_step=jnp.zeros((1,), jnp.int32),
+    )
+    eps, counts = accumulate_protein_eps(
+        model, params, g, cutoff=6.0, batch_size=4, seed=0
+    )
+    n = len(g["atom_type"])
+    assert eps.shape == (n, 3) and counts.shape == (n,)
+    assert np.isfinite(eps).all()
+    assert (counts[np.asarray(g["is_alpha"], bool)] > 0).all()
+    assert np.abs(eps[counts > 0]).sum() > 0
 
 
 def test_radius_restriction_in_model():

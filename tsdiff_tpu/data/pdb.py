@@ -353,6 +353,64 @@ def pack_sidechain_mask(graphs: list[dict], max_nodes: int) -> np.ndarray:
     return out
 
 
+def cover_protein_with_subgraphs(
+    graph: dict,
+    rng: np.random.Generator,
+    cutoff: float = 10.0,
+) -> list[dict]:
+    """Cover a full protein with alpha-centered residue-complete subgraphs.
+
+    Working TPU-native counterpart of the reference's unfinished
+    ``accumulate_grad_from_subgraph`` subgraph-preparation loop (reference
+    utils/datasets.py:1210-1280; upstream the function dereferences
+    ``pos.deivce`` and indexes a list with a comma — dead code): repeatedly
+    pick an uncovered CA atom, take its residue-complete cutoff ball, mark
+    the kept atoms covered, until every CA is covered.  Each subgraph dict
+    carries ``mapping`` — original atom indices — so per-atom model outputs
+    can be scattered back onto the full protein.  Subgraphs with no
+    sidechain atom are skipped (reference :1267-1268) but still count as
+    covered.
+    """
+    is_sidechain = np.asarray(graph["is_sidechain"], bool)
+    is_alpha = np.asarray(graph["is_alpha"], bool)
+    pos = np.asarray(graph["pos"])
+    atom2res = np.asarray(graph["atom2res"])
+    ei = np.asarray(graph["edge_index"])
+    et = np.asarray(graph["edge_type"])
+    n = len(pos)
+
+    covered = np.zeros(n, bool)
+    subs: list[dict] = []
+    while (is_alpha & ~covered).any():
+        alpha_index = np.nonzero(is_alpha & ~covered)[0]
+        center = alpha_index[rng.integers(0, len(alpha_index))]
+        dist = np.linalg.norm(pos - pos[center], axis=-1)
+        keep_res = np.zeros(atom2res.max() + 1, bool)
+        np.logical_or.at(keep_res, atom2res[dist <= cutoff], True)
+        keep_atom = keep_res[atom2res]
+        covered |= keep_atom
+        if not (is_sidechain & keep_atom).any():
+            continue
+        keep_index = np.nonzero(keep_atom)[0]
+        mapping = -np.ones(n, np.int64)
+        mapping[keep_index] = np.arange(len(keep_index))
+        keep_edge = keep_atom[ei[0]] & keep_atom[ei[1]]
+        m = len(keep_index)
+        subs.append(dict(
+            atom_type=np.asarray(graph["atom_type"])[keep_atom],
+            r_feat=np.zeros((m, 0), np.float32),
+            p_feat=np.zeros((m, 0), np.float32),
+            pos=pos[keep_atom].astype(np.float32),
+            edge_index=mapping[ei[:, keep_edge]].astype(np.int32),
+            edge_type=et[keep_edge],
+            smiles=graph.get("smiles", ""),
+            is_sidechain=is_sidechain[keep_atom],
+            atom2res=atom2res[keep_atom],
+            mapping=keep_index,
+        ))
+    return subs
+
+
 class SidechainConformationDataset:
     """Subgraph-sampling dataset over featurized protein graphs
     (reference utils/datasets.py:1129-1208).

@@ -272,6 +272,69 @@ def dual_dynamic_sampling(
     return pos, traj, nan_flag
 
 
+def accumulate_protein_eps(
+    model,
+    params,
+    graph: dict,
+    time_step: int = 0,
+    cutoff: float = 10.0,
+    batch_size: int = 8,
+    sigma_gate: float = 1.0,
+    w_global: float = 0.2,
+    clip: float = 1000.0,
+    seed: int = 0,
+    pos_override: np.ndarray | None = None,
+):
+    """Per-atom eps for a FULL protein via covering subgraphs.
+
+    Working counterpart of the reference's unfinished
+    ``accumulate_grad_from_subgraph`` (utils/datasets.py:1210-1290): cover
+    the protein with alpha-centered residue-complete subgraphs
+    (tsdiff_tpu/data/pdb.py), score each padded batch with the dual-encoder
+    eps composition, scatter per-atom eps back through each subgraph's
+    ``mapping`` and average over the subgraphs containing an atom.
+
+    Returns ``(eps (n, 3) float32, counts (n,) int)``; atoms in no scored
+    subgraph (e.g. GLY-only balls) have count 0 and eps 0.
+    """
+    from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs, pack_sidechain_mask
+
+    rng = np.random.default_rng(seed)
+    g = dict(graph)
+    if pos_override is not None:
+        g["pos"] = np.asarray(pos_override, np.float32)
+    subs = cover_protein_with_subgraphs(g, rng, cutoff)
+    n = len(np.asarray(graph["atom_type"]))
+    eps_acc = np.zeros((n, 3), np.float32)
+    counts = np.zeros(n, np.int64)
+    if not subs:
+        return eps_acc, counts
+
+    n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
+    for start in range(0, len(subs), batch_size):
+        chunk = subs[start : start + batch_size]
+        batch = from_numpy_graphs(chunk, max_nodes=n_pad)
+        sc = jnp.asarray(pack_sidechain_mask(chunk, n_pad))
+        eps_fn = make_dual_eps_fn(
+            model, params, batch, w_global=w_global, clip=clip, is_sidechain=sc
+        )
+        B = batch.atom_type.shape[0]
+        eps = eps_fn(
+            batch.pos, jnp.asarray(sigma_gate, jnp.float32),
+            time_step=jnp.full((B,), time_step),
+        )
+        eps = np.asarray(eps)
+        for b, s in enumerate(chunk):
+            m = len(s["atom_type"])
+            eps_acc[s["mapping"]] += eps[b, :m]
+            counts[s["mapping"]] += 1
+
+    nz = counts > 0
+    eps_acc[nz] /= counts[nz, None]
+    return eps_acc, counts
+
+
 def dsm_annealed_sampling(
     eps_fn,
     sigmas: np.ndarray,
