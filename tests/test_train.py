@@ -108,6 +108,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert it == 20 and path.endswith("20.ckpt")
 
 
+def test_ema_tracking_and_checkpoint(tmp_path):
+    """EMA params track raw params with the warmed decay and ride checkpoints."""
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, [5, 6], n_pad=8)
+    model = get_model(MODEL_CFG)
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    params = model.init(
+        jax.random.key(0),
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    tx = make_optimizer(OPT_CFG, max_grad_norm=3000.0)
+    state = init_train_state(model, tx, params, ema_decay=0.99)
+    assert state.ema_params is not None
+    step = make_train_step(model, tx, schedule, ema_decay=0.99)
+
+    # replay the EMA recursion on a reference leaf
+    leaf = lambda tree: jax.tree_util.tree_leaves(tree)[0]
+    expect = np.asarray(leaf(params), np.float64)
+    key = jax.random.key(1)
+    raw_per_step = []
+    for it in range(5):
+        key, k = jax.random.split(key)
+        state, _ = step(state, batch, k, 5e-4)
+        raw_per_step.append(np.asarray(leaf(state.params), np.float64))
+        d = min(0.99, (1.0 + (it + 1)) / (10.0 + (it + 1)))
+        expect = expect * d + raw_per_step[-1] * (1.0 - d)
+    got = np.asarray(leaf(state.ema_params))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
+    # EMA differs from raw params (it is a trailing average)
+    assert np.abs(got - raw_per_step[-1]).max() > 0
+
+    p = str(tmp_path / "5.ckpt")
+    save_checkpoint(p, Config(model=MODEL_CFG.to_dict()), state, None, iteration=5)
+    ck = load_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(leaf(ck["ema_params"])), got)
+    # non-EMA states save None
+    state0 = init_train_state(model, tx, params)
+    save_checkpoint(p, Config(model=MODEL_CFG.to_dict()), state0, None, iteration=6)
+    assert load_checkpoint(p)["ema_params"] is None
+
+
 def test_dp_sharded_train_step_matches_single_device():
     """Same batch, sharded over an 8-way dp mesh vs unsharded: identical loss
     and identical updated params (XLA inserts the gradient psum)."""

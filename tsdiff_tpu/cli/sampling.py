@@ -62,6 +62,8 @@ def main(argv=None):
     parser.add_argument("--sort_by_size", action="store_true", default=False,
                         help="sort reactions by atom count before batching (homogeneous "
                              "padding buckets, higher throughput; changes result order)")
+    parser.add_argument("--use_ema", action="store_true", default=False,
+                        help="use EMA weights from checkpoints when present")
     parser.add_argument("--fused_score", action="store_true", default=False,
                         help="fully-fused Pallas score kernel (condensenc + mlp edge encoder only; "
                              "fastest with --dtype bfloat16)")
@@ -114,8 +116,16 @@ def main(argv=None):
         if "beta_schedule" in model_cfg
         else None  # dsm models use their sigma ladder instead
     )
+    def _pick_params(ck):
+        if args.use_ema:
+            if ck.get("ema_params") is None:
+                logger.warning("--use_ema: checkpoint has no EMA weights; using raw params")
+            else:
+                return ck["ema_params"]
+        return ck["params"]
+
     stacked = stack_params(
-        [jax.tree_util.tree_map(jnp.asarray, ck["params"]) for ck in cks]
+        [jax.tree_util.tree_map(jnp.asarray, _pick_params(ck)) for ck in cks]
     )
     seed_all(args.seed)
 

@@ -143,8 +143,10 @@ def main(argv=None):
     t0 = config.model.get("t0", 0)
     t1 = config.model.get("t1", None)
     anneal_power = config.train.get("anneal_power", 2.0)
+    ema_decay = config.train.get("ema_decay", None)
     train_step = make_train_step(
-        model, tx, schedule, t0=t0, t1=t1, anneal_power=anneal_power
+        model, tx, schedule, t0=t0, t1=t1, anneal_power=anneal_power,
+        ema_decay=ema_decay,
     )
     eval_step = make_eval_step(
         model, schedule, t0=t0, t1=t1, anneal_power=anneal_power
@@ -153,7 +155,7 @@ def main(argv=None):
 
     probe = next(iter(train_loader))
     params = init_model_params(model, jax.random.key(config.train.seed), probe)
-    state = init_train_state(model, tx, params)
+    state = init_train_state(model, tx, params, ema_decay=ema_decay)
     start_iter = 1
 
     if resume:
@@ -162,10 +164,14 @@ def main(argv=None):
         )
         logger.info(f"Resuming from {ckpt_path} (iteration {start_iter})")
         ck = load_checkpoint(ckpt_path)
+        ema = ck.get("ema_params")
         state = TrainState(
             params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
             opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
             step=jnp.asarray(start_iter, jnp.int32),
+            ema_params=jax.tree_util.tree_map(jnp.asarray, ema)
+            if ema is not None
+            else (state.params if ema_decay else None),
         )
         if ck.get("scheduler"):
             scheduler.load_state_dict(ck["scheduler"])
@@ -177,6 +183,7 @@ def main(argv=None):
             params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
             opt_state=state.opt_state,
             step=state.step,
+            ema_params=state.ema_params,
         )
 
     state = replicate(state, mesh)

@@ -33,6 +33,10 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array  # () int32
+    # exponential moving average of params; None when EMA is disabled.
+    # (Not in the reference — standard diffusion-training practice, opt-in
+    # via config train.ema_decay; sampling prefers EMA params when present.)
+    ema_params: Any = None
 
 
 def make_optimizer(opt_config, max_grad_norm: float) -> optax.GradientTransformation:
@@ -48,9 +52,10 @@ def make_optimizer(opt_config, max_grad_norm: float) -> optax.GradientTransforma
     return optax.chain(*txs)
 
 
-def init_train_state(model, tx, params) -> TrainState:
+def init_train_state(model, tx, params, ema_decay: float | None = None) -> TrainState:
     return TrainState(
-        params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32)
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32),
+        ema_params=params if ema_decay else None,
     )
 
 
@@ -111,9 +116,13 @@ def get_objective(
 
 def make_train_step(
     model, tx, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None,
-    anneal_power: float = 2.0,
+    anneal_power: float = 2.0, ema_decay: float | None = None,
 ):
-    """Returns jitted (state, batch, key, lr) -> (state, metrics)."""
+    """Returns jitted (state, batch, key, lr) -> (state, metrics).
+
+    ``ema_decay`` (e.g. 0.999) maintains ``state.ema_params`` with the
+    step-warmed decay ``min(decay, (1+step)/(10+step))`` so early EMA is not
+    biased toward the random init."""
     objective = get_objective(model, schedule, t0=t0, t1=t1, anneal_power=anneal_power)
 
     def train_step(state: TrainState, batch: ReactionBatch, key, lr):
@@ -125,13 +134,20 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        ema = state.ema_params
+        if ema_decay is not None and ema is not None:
+            d = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), ema, params
+            )
         metrics = {
             "loss": loss,
             "loss_sum": aux["loss_sum"],
             "n_nodes": aux["n_nodes"],
             "grad_norm": grad_norm,
         }
-        return TrainState(params, opt_state, state.step + 1), metrics
+        return TrainState(params, opt_state, step, ema), metrics
 
     return jax.jit(train_step)
 
@@ -175,6 +191,7 @@ def save_checkpoint(
         "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
         "params": _to_numpy(state.params),
         "opt_state": _to_numpy(state.opt_state),
+        "ema_params": _to_numpy(state.ema_params) if state.ema_params is not None else None,
         "scheduler": scheduler_state,
         "iteration": int(iteration if iteration is not None else state.step),
         "avg_val_loss": avg_val_loss,
