@@ -44,6 +44,51 @@ def test_ensemble_sharded_sampling_matches_unsharded():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_hybrid_mesh_sharded_matches_unsharded():
+    """(dp_dcn, dp, ens) hybrid multislice mesh (2 emulated slices x 2 dp x
+    2 ens): training batch over both data axes + ensemble sampling parity."""
+    from tsdiff_tpu.parallel import make_hybrid_mesh
+
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, [5, 7, 6, 8], n_pad=8)
+    model = get_model(MODEL_CFG)
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    init_args = (
+        batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    members = [model.init(jax.random.key(s), *init_args) for s in range(2)]
+    stacked = stack_params(members)
+    pos_init = jax.random.normal(jax.random.key(3), batch.pos.shape)
+    settings = SamplingSettings(sampling_type="ld", n_steps=4)
+
+    def run(sp, b):
+        return dynamic_sampling(
+            make_ensemble_score_fn(model, sp, b),
+            schedule, pos_init, b.node_mask, jax.random.key(4), settings,
+        ).pos
+
+    ref = np.asarray(run(stacked, batch))
+
+    mesh = make_hybrid_mesh(ens=2, num_slices=2)  # (2, 2, 2) on 8 devices
+    assert mesh.axis_names == ("dp_dcn", "dp", "ens")
+    assert mesh.devices.shape == (2, 2, 2)
+    batch_sh = shard_batch(batch, mesh)
+    stacked_sh = shard_ensemble_params(stacked, mesh)
+    out = np.asarray(run(stacked_sh, batch_sh))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_mesh_shapes():
+    from tsdiff_tpu.parallel import make_hybrid_mesh
+
+    # single-slice degenerate: dp_dcn axis of size 1
+    m = make_hybrid_mesh(ens=1, num_slices=1)
+    assert m.devices.shape == (1, 8, 1)
+    m = make_hybrid_mesh(ens=4, num_slices=2)
+    assert m.devices.shape == (2, 1, 4)
+
+
 def test_graft_entry_dryrun():
     """The driver's multi-chip dry run must pass on the virtual mesh."""
     import __graft_entry__ as ge

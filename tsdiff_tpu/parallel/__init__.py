@@ -8,6 +8,7 @@ support at all (SURVEY.md section 2.10) — this package is new capability.
 
 from tsdiff_tpu.parallel.sharding import (  # noqa: F401
     batch_spec,
+    make_hybrid_mesh,
     make_mesh,
     replicate,
     replicated_spec,
