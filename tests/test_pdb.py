@@ -114,6 +114,34 @@ def test_pdb_to_graph_flags_and_bonds():
     assert (np.diff(keys) >= 0).all()
 
 
+def test_insertion_codes_separate_residues():
+    """Residues 100 and 100A (insertion code, col 27) stay distinct."""
+    rows = [
+        ("N", "ALA", (0.0, 0.0, 0.0), "N", " "),
+        ("CA", "ALA", (1.46, 0.0, 0.0), "C", " "),
+        ("C", "ALA", (2.0, 1.4, 0.0), "C", " "),
+        ("O", "ALA", (1.3, 2.4, 0.0), "O", " "),
+        ("CB", "ALA", (2.0, -0.8, -1.2), "C", " "),
+        ("N", "SER", (3.3, 1.5, 0.0), "N", "A"),
+        ("CA", "SER", (4.0, 2.8, 0.0), "C", "A"),
+        ("C", "SER", (5.5, 2.6, 0.1), "C", "A"),
+        ("O", "SER", (6.1, 1.6, -0.3), "O", "A"),
+        ("CB", "SER", (3.6, 3.6, 1.25), "C", "A"),
+        ("OG", "SER", (2.2, 3.8, 1.3), "O", "A"),
+    ]
+    lines = []
+    for i, (nm, rn, xyz, el, ic) in enumerate(rows):
+        line = _atom_line(i + 1, nm, rn, "A", 100, *xyz, el)
+        line = line[:26] + ic + line[27:]  # insertion code column 27
+        lines.append(line)
+    g = pdb_to_graph("\n".join(lines))
+    assert g["atom2res"].tolist() == [0] * 5 + [1] * 6
+    # both residues have their own CA and internal bonds; peptide C(100)-N(100A)
+    pairs = {(int(i), int(j)) for i, j in zip(*g["edge_index"])}
+    assert (2, 5) in pairs   # peptide bond by distance despite equal resnum
+    assert (9, 10) in pairs  # SER CB-OG intact in the inserted residue
+
+
 def test_gly_only_returns_none():
     rows = [("N", "GLY", 1, (0, 0, 0), "N"), ("CA", "GLY", 1, (1.5, 0, 0), "C"),
             ("C", "GLY", 1, (2, 1.4, 0), "C"), ("O", "GLY", 1, (1.3, 2.4, 0), "O")]

@@ -165,13 +165,16 @@ def main(argv=None):
         logger.info(f"Resuming from {ckpt_path} (iteration {start_iter})")
         ck = load_checkpoint(ckpt_path)
         ema = ck.get("ema_params")
+        loaded_params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
         state = TrainState(
-            params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+            params=loaded_params,
             opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
             step=jnp.asarray(start_iter, jnp.int32),
+            # a pre-EMA checkpoint seeds the EMA from its own weights, never
+            # from the fresh random init
             ema_params=jax.tree_util.tree_map(jnp.asarray, ema)
             if ema is not None
-            else (state.params if ema_decay else None),
+            else (loaded_params if ema_decay else None),
         )
         if ck.get("scheduler"):
             scheduler.load_state_dict(ck["scheduler"])
@@ -179,11 +182,12 @@ def main(argv=None):
     if args.pretrain:
         logger.info(f"Warm-start weights from {args.pretrain}")
         ck = load_checkpoint(args.pretrain)
+        warm = jax.tree_util.tree_map(jnp.asarray, ck["params"])
         state = TrainState(
-            params=jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+            params=warm,
             opt_state=state.opt_state,
             step=state.step,
-            ema_params=state.ema_params,
+            ema_params=warm if ema_decay else None,
         )
 
     state = replicate(state, mesh)

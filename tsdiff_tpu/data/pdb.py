@@ -95,11 +95,17 @@ class PdbAtoms:
     resname: list[str]     # 3-letter residue name
     chain: list[str]       # chain id
     resnum: np.ndarray     # (n,) int author residue number
+    icode: list[str]       # insertion code column 27 ("" when absent)
     element: list[str]     # element symbol, uppercased
     pos: np.ndarray        # (n, 3) float32
 
     def __len__(self) -> int:
         return len(self.name)
+
+    def residue_key(self, i: int) -> tuple[str, int, str]:
+        """Identity of atom i's residue — includes the insertion code so
+        e.g. 100 and 100A on the same chain stay distinct residues."""
+        return (self.chain[i], int(self.resnum[i]), self.icode[i])
 
 
 def parse_pdb(text: str, keep_hydrogens: bool = False) -> PdbAtoms:
@@ -108,7 +114,7 @@ def parse_pdb(text: str, keep_hydrogens: bool = False) -> PdbAtoms:
     Stops at the first ENDMDL (single-model, like the reference's
     ``MolFromPDBFile`` default).  HETATM and altloc B+ records are skipped.
     """
-    name, resname, chain, resnum, element, pos = [], [], [], [], [], []
+    name, resname, chain, resnum, icode, element, pos = [], [], [], [], [], [], []
     for line in text.splitlines():
         rec = line[:6].strip()
         if rec == "ENDMDL":
@@ -130,11 +136,12 @@ def parse_pdb(text: str, keep_hydrogens: bool = False) -> PdbAtoms:
         resname.append(line[17:20].strip())
         chain.append(line[21])
         resnum.append(int(line[22:26]))
+        icode.append(line[26].strip() if len(line) > 26 else "")
         element.append(el)
         pos.append((float(line[30:38]), float(line[38:46]), float(line[46:54])))
     return PdbAtoms(
         name=name, resname=resname, chain=chain,
-        resnum=np.asarray(resnum, np.int64), element=element,
+        resnum=np.asarray(resnum, np.int64), icode=icode, element=element,
         pos=np.asarray(pos, np.float32).reshape(-1, 3),
     )
 
@@ -149,11 +156,11 @@ def _template_bonds(atoms: PdbAtoms) -> tuple[np.ndarray, np.ndarray]:
     directions, sorted like the reference (row-major).
     """
     n = len(atoms)
-    # (chain, resnum) -> {atom name -> index}
-    by_res: dict[tuple[str, int], dict[str, int]] = {}
-    order: list[tuple[str, int]] = []
+    # residue key (incl. insertion code) -> {atom name -> index}
+    by_res: dict[tuple[str, int, str], dict[str, int]] = {}
+    order: list[tuple[str, int, str]] = []
     for i in range(n):
-        key = (atoms.chain[i], int(atoms.resnum[i]))
+        key = atoms.residue_key(i)
         if key not in by_res:
             by_res[key] = {}
             order.append(key)
@@ -178,10 +185,14 @@ def _template_bonds(atoms: PdbAtoms) -> tuple[np.ndarray, np.ndarray]:
         if "OXT" in res and "C" in res:
             add(res["C"], res["OXT"], _S)
 
+    # peptide bonds: file-consecutive residues of the same chain whose C-N
+    # distance is peptide-like (~1.33 A; 2.0 cutoff rejects chain breaks).
+    # Distance-based so insertion-coded numbering (100 -> 100A) still bonds.
     for prev, cur in zip(order, order[1:]):
-        if prev[0] == cur[0] and cur[1] == prev[1] + 1:
-            if "C" in by_res[prev] and "N" in by_res[cur]:
-                add(by_res[prev]["C"], by_res[cur]["N"], _S)
+        if prev[0] == cur[0] and "C" in by_res[prev] and "N" in by_res[cur]:
+            ci, ni = by_res[prev]["C"], by_res[cur]["N"]
+            if np.linalg.norm(atoms.pos[ci] - atoms.pos[ni]) <= 2.0:
+                add(ci, ni, _S)
 
     edge_index = np.asarray([rows, cols], np.int32).reshape(2, -1)
     edge_type = np.asarray(types, np.int32)
@@ -189,15 +200,24 @@ def _template_bonds(atoms: PdbAtoms) -> tuple[np.ndarray, np.ndarray]:
     return edge_index[:, perm], edge_type[perm]
 
 
-def _rdkit_bonds(pdb_path: str) -> tuple[np.ndarray, np.ndarray] | None:
+def _rdkit_bonds(
+    pdb_path: str, expected_atoms: int | None = None
+) -> tuple[np.ndarray, np.ndarray] | None:
     """Bond perception via RDKit (the reference path,
-    utils/datasets.py:224, 292-305)."""
+    utils/datasets.py:224, 292-305).
+
+    Returns None (caller falls back to templates) when RDKit's atom list
+    does not line up with our ATOM-record parse — e.g. the file carries
+    HETATM records RDKit includes but ``parse_pdb`` skips — since the bond
+    indices would then point at the wrong atoms."""
     from rdkit import Chem
 
     mol = Chem.rdmolfiles.MolFromPDBFile(pdb_path)
     if mol is None:
         return None
     n = mol.GetNumAtoms()
+    if expected_atoms is not None and n != expected_atoms:
+        return None
     rows, cols, types = [], [], []
     for bond in mol.GetBonds():
         s, e = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
@@ -239,10 +259,10 @@ def pdb_to_graph(
     if not is_sidechain.any():
         return None
 
-    # residue index: 0-based over distinct (chain, resnum) in file order,
-    # min-shifted like the reference (:275)
-    keys = list(zip(atoms.chain, atoms.resnum.tolist()))
-    uniq: dict[tuple[str, int], int] = {}
+    # residue index: 0-based over distinct residues (incl. insertion code)
+    # in file order, min-shifted like the reference (:275)
+    keys = [atoms.residue_key(i) for i in range(n)]
+    uniq: dict[tuple[str, int, str], int] = {}
     for k in keys:
         uniq.setdefault(k, len(uniq))
     atom2res = np.asarray([uniq[k] for k in keys], np.int64)
@@ -255,10 +275,11 @@ def pdb_to_graph(
     z = np.asarray([_ELEMENT_Z.get(e, 0) for e in atoms.element], np.int32)
 
     bonds = None
-    if use_rdkit is None or use_rdkit:
+    if use_rdkit and pdb_path is None:
+        raise ValueError("use_rdkit=True requires pdb_path (RDKit parses the file)")
+    if (use_rdkit is None or use_rdkit) and pdb_path is not None:
         try:
-            if pdb_path is not None:
-                bonds = _rdkit_bonds(pdb_path)
+            bonds = _rdkit_bonds(pdb_path, expected_atoms=n)
         except ImportError:
             if use_rdkit:
                 raise
@@ -289,6 +310,58 @@ def pdb_file_to_graph(path: str, name: str | None = None, **kw) -> dict | None:
     return pdb_to_graph(text, name=name or path, pdb_path=path, **kw)
 
 
+def _ball_subgraph(
+    graph: dict, center: int, cutoff: float, with_mapping: bool
+) -> dict | None:
+    """Residue-complete cutoff ball around ``center``: keep atoms within
+    ``cutoff``, extend to whole residues, remap indices.  ``None`` when no
+    sidechain atom survives (reference utils/datasets.py:1186-1188,
+    1267-1268)."""
+    is_sidechain = np.asarray(graph["is_sidechain"], bool)
+    pos = np.asarray(graph["pos"])
+    atom2res = np.asarray(graph["atom2res"])
+
+    dist = np.linalg.norm(pos - pos[center], axis=-1)
+    keep_res = np.zeros(atom2res.max() + 1, bool)
+    np.logical_or.at(keep_res, atom2res[dist <= cutoff], True)
+    keep_atom = keep_res[atom2res]
+    if not (is_sidechain & keep_atom).any():
+        return None
+
+    keep_index = np.nonzero(keep_atom)[0]
+    mapping = -np.ones(len(pos), np.int64)
+    mapping[keep_index] = np.arange(len(keep_index))
+
+    ei = np.asarray(graph["edge_index"])
+    et = np.asarray(graph["edge_type"])
+    keep_edge = keep_atom[ei[0]] & keep_atom[ei[1]]
+
+    m = len(keep_index)
+    sub = dict(
+        atom_type=np.asarray(graph["atom_type"])[keep_atom],
+        r_feat=np.zeros((m, 0), np.float32),
+        p_feat=np.zeros((m, 0), np.float32),
+        pos=pos[keep_atom].astype(np.float32),
+        edge_index=mapping[ei[:, keep_edge]].astype(np.int32),
+        edge_type=et[keep_edge],
+        smiles=graph.get("smiles", ""),
+        is_sidechain=is_sidechain[keep_atom],
+        atom2res=atom2res[keep_atom],
+    )
+    if with_mapping:
+        sub["mapping"] = keep_index
+    return sub
+
+
+def _ball_keep_atoms(graph: dict, center: int, cutoff: float) -> np.ndarray:
+    pos = np.asarray(graph["pos"])
+    atom2res = np.asarray(graph["atom2res"])
+    dist = np.linalg.norm(pos - pos[center], axis=-1)
+    keep_res = np.zeros(atom2res.max() + 1, bool)
+    np.logical_or.at(keep_res, atom2res[dist <= cutoff], True)
+    return keep_res[atom2res]
+
+
 def sample_sidechain_subgraph(
     graph: dict,
     rng: np.random.Generator,
@@ -304,42 +377,12 @@ def sample_sidechain_subgraph(
     subgraph contains no sidechain atoms (reference :1186-1188).
     """
     is_sidechain = np.asarray(graph["is_sidechain"], bool)
-    pos = np.asarray(graph["pos"])
-    atom2res = np.asarray(graph["atom2res"])
     backbone_index = np.nonzero(~is_sidechain)[0]
-
     if fix_subgraph:
         center = backbone_index[len(backbone_index) // 2]
     else:
         center = backbone_index[rng.integers(0, len(backbone_index))]
-    dist = np.linalg.norm(pos - pos[center], axis=-1)
-    in_ball = dist <= cutoff
-    keep_res = np.zeros(atom2res.max() + 1, bool)
-    np.logical_or.at(keep_res, atom2res[in_ball], True)
-    keep_atom = keep_res[atom2res]
-    if not (is_sidechain & keep_atom).any():
-        return None
-
-    keep_index = np.nonzero(keep_atom)[0]
-    mapping = -np.ones(len(pos), np.int64)
-    mapping[keep_index] = np.arange(len(keep_index))
-
-    ei = np.asarray(graph["edge_index"])
-    et = np.asarray(graph["edge_type"])
-    keep_edge = keep_atom[ei[0]] & keep_atom[ei[1]]
-
-    m = len(keep_index)
-    return dict(
-        atom_type=np.asarray(graph["atom_type"])[keep_atom],
-        r_feat=np.zeros((m, 0), np.float32),
-        p_feat=np.zeros((m, 0), np.float32),
-        pos=pos[keep_atom].astype(np.float32),
-        edge_index=mapping[ei[:, keep_edge]].astype(np.int32),
-        edge_type=et[keep_edge],
-        smiles=graph.get("smiles", ""),
-        is_sidechain=is_sidechain[keep_atom],
-        atom2res=atom2res[keep_atom],
-    )
+    return _ball_subgraph(graph, center, cutoff, with_mapping=False)
 
 
 def pack_sidechain_mask(graphs: list[dict], max_nodes: int) -> np.ndarray:
@@ -371,43 +414,18 @@ def cover_protein_with_subgraphs(
     sidechain atom are skipped (reference :1267-1268) but still count as
     covered.
     """
-    is_sidechain = np.asarray(graph["is_sidechain"], bool)
     is_alpha = np.asarray(graph["is_alpha"], bool)
-    pos = np.asarray(graph["pos"])
-    atom2res = np.asarray(graph["atom2res"])
-    ei = np.asarray(graph["edge_index"])
-    et = np.asarray(graph["edge_type"])
-    n = len(pos)
+    n = len(np.asarray(graph["atom_type"]))
 
     covered = np.zeros(n, bool)
     subs: list[dict] = []
     while (is_alpha & ~covered).any():
         alpha_index = np.nonzero(is_alpha & ~covered)[0]
         center = alpha_index[rng.integers(0, len(alpha_index))]
-        dist = np.linalg.norm(pos - pos[center], axis=-1)
-        keep_res = np.zeros(atom2res.max() + 1, bool)
-        np.logical_or.at(keep_res, atom2res[dist <= cutoff], True)
-        keep_atom = keep_res[atom2res]
-        covered |= keep_atom
-        if not (is_sidechain & keep_atom).any():
-            continue
-        keep_index = np.nonzero(keep_atom)[0]
-        mapping = -np.ones(n, np.int64)
-        mapping[keep_index] = np.arange(len(keep_index))
-        keep_edge = keep_atom[ei[0]] & keep_atom[ei[1]]
-        m = len(keep_index)
-        subs.append(dict(
-            atom_type=np.asarray(graph["atom_type"])[keep_atom],
-            r_feat=np.zeros((m, 0), np.float32),
-            p_feat=np.zeros((m, 0), np.float32),
-            pos=pos[keep_atom].astype(np.float32),
-            edge_index=mapping[ei[:, keep_edge]].astype(np.int32),
-            edge_type=et[keep_edge],
-            smiles=graph.get("smiles", ""),
-            is_sidechain=is_sidechain[keep_atom],
-            atom2res=atom2res[keep_atom],
-            mapping=keep_index,
-        ))
+        covered |= _ball_keep_atoms(graph, center, cutoff)
+        sub = _ball_subgraph(graph, center, cutoff, with_mapping=True)
+        if sub is not None:
+            subs.append(sub)
     return subs
 
 

@@ -65,6 +65,13 @@ def make_hybrid_mesh(
     detected = len(slice_ids)
     if num_slices is None:
         num_slices = detected
+    if detected > 1 and num_slices != detected:
+        # a contiguous-reshape fallback here would silently let intra-slice
+        # axes straddle the DCN boundary (per-step collectives off ICI)
+        raise ValueError(
+            f"num_slices={num_slices} but the runtime reports {detected} "
+            "slices; pass num_slices=None to auto-detect"
+        )
     assert n % num_slices == 0, f"{n} devices not divisible by {num_slices} slices"
     per_slice = n // num_slices
     if dp is None:
