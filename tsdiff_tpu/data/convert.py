@@ -84,6 +84,97 @@ def condensenc_params_from_state_dict(state_dict: dict, num_convs: int) -> dict:
     return {"params": params}
 
 
+def dualenc_params_from_state_dict(state_dict: dict, config: dict) -> dict:
+    """Reference DualEncoderEpsNetwork state_dict (numpy arrays) -> flax
+    params pytree matching tsdiff_tpu/models/dualenc.py.
+
+    Name mapping (reference dualenc.py:60-200; torch Linear (out, in)
+    transposes to jax (in, out)):
+
+      edge_encoder_{global,local}.bond_emb.weight -> edge_encoder_*/bond_emb/embedding
+      edge_encoder_*.mlp.layers.{i}.*             -> edge_encoder_*/mlp/layers_{i}/Dense_0/*
+      edge_cat_{global,local}.{0,2}.*             -> edge_cat_*/{lin0,lin1}/Dense_0/*   (TS mode)
+      encoder_global.node_emb.weight              -> encoder_global/node_emb/embedding
+      encoder_global.interactions.{l}.*           -> encoder_global/stack/* (layer-stacked)
+      encoder_local.node_emb.weight               -> encoder_local/node_emb/embedding
+      encoder_local.convs.{i}.nn.layers.{j}.*     -> encoder_local/convs_{i}/nn/layers_{j}/Dense_0/*
+      grad_{global,local}_dist_mlp.layers.{i}.*   -> grad_*_dist_mlp/layers_{i}/Dense_0/*
+
+    ``convs.{i}.eps`` buffers are dropped (train_eps is False everywhere in
+    the reference, our GINEConv fixes eps=0); sigmas/betas/alphas buffers
+    are recomputed from the config.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    num_convs = config["model"]["num_convs"]
+    num_convs_local = config["model"]["num_convs_local"]
+    ts_mode = bool(config["model"].get("TS", False))
+    if config["model"].get("edge_encoder", "mlp") != "mlp":
+        raise NotImplementedError(
+            "dualenc conversion supports the mlp edge encoder "
+            "(gaussian adds no parameters besides bond_emb; extend here)"
+        )
+
+    def dense(prefix):
+        out = {"kernel": _t(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return {"Dense_0": out}
+
+    def edge_encoder(side):
+        return {
+            "bond_emb": {"embedding": sd[f"edge_encoder_{side}.bond_emb.weight"]},
+            "mlp": {
+                "layers_0": dense(f"edge_encoder_{side}.mlp.layers.0"),
+                "layers_1": dense(f"edge_encoder_{side}.mlp.layers.1"),
+            },
+        }
+
+    def mlp3(prefix):
+        return {f"layers_{i}": dense(f"{prefix}.layers.{i}") for i in range(3)}
+
+    stack = {
+        "f1w": np.stack([_t(sd[f"encoder_global.interactions.{l}.conv.mlp.0.weight"]) for l in range(num_convs)]),
+        "f1b": np.stack([sd[f"encoder_global.interactions.{l}.conv.mlp.0.bias"] for l in range(num_convs)]),
+        "f2w": np.stack([_t(sd[f"encoder_global.interactions.{l}.conv.mlp.2.weight"]) for l in range(num_convs)]),
+        "f2b": np.stack([sd[f"encoder_global.interactions.{l}.conv.mlp.2.bias"] for l in range(num_convs)]),
+        "l1w": np.stack([_t(sd[f"encoder_global.interactions.{l}.conv.lin1.weight"]) for l in range(num_convs)]),
+        "l2w": np.stack([_t(sd[f"encoder_global.interactions.{l}.conv.lin2.weight"]) for l in range(num_convs)]),
+        "l2b": np.stack([sd[f"encoder_global.interactions.{l}.conv.lin2.bias"] for l in range(num_convs)]),
+        "ow": np.stack([_t(sd[f"encoder_global.interactions.{l}.lin.weight"]) for l in range(num_convs)]),
+        "ob": np.stack([sd[f"encoder_global.interactions.{l}.lin.bias"] for l in range(num_convs)]),
+    }
+
+    params = {
+        "edge_encoder_global": edge_encoder("global"),
+        "edge_encoder_local": edge_encoder("local"),
+        "encoder_global": {
+            "node_emb": {"embedding": sd["encoder_global.node_emb.weight"]},
+            "stack": stack,
+        },
+        "encoder_local": {
+            "node_emb": {"embedding": sd["encoder_local.node_emb.weight"]},
+            **{
+                f"convs_{i}": {
+                    "nn": {
+                        "layers_0": dense(f"encoder_local.convs.{i}.nn.layers.0"),
+                        "layers_1": dense(f"encoder_local.convs.{i}.nn.layers.1"),
+                    }
+                }
+                for i in range(num_convs_local)
+            },
+        },
+        "grad_global_dist_mlp": mlp3("grad_global_dist_mlp"),
+        "grad_local_dist_mlp": mlp3("grad_local_dist_mlp"),
+    }
+    if ts_mode:
+        for side in ("global", "local"):
+            params[f"edge_cat_{side}"] = {
+                "lin0": dense(f"edge_cat_{side}.0"),
+                "lin1": dense(f"edge_cat_{side}.2"),
+            }
+    return {"params": params}
+
+
 def convert_reference_checkpoint(pt_path: str, out_path: str | None = None) -> dict:
     """Load a reference ``<iter>.pt`` and emit a tsdiff_tpu checkpoint dict.
 
@@ -101,11 +192,16 @@ def convert_reference_checkpoint(pt_path: str, out_path: str | None = None) -> d
     model_cfg = config["model"]
     sd = {
         k: np.asarray(v) for k, v in ck["model"].items()
-        if not k.startswith(("betas", "alphas"))
+        if not k.startswith(("betas", "alphas", "sigmas"))
+        and not k.endswith(".eps")
     }
-    params = condensenc_params_from_state_dict(
-        sd, num_convs=model_cfg["encoder"]["num_convs"]
-    )
+    network = model_cfg.get("network", "condensenc")
+    if network.startswith("dualenc"):
+        params = dualenc_params_from_state_dict(sd, config)
+    else:
+        params = condensenc_params_from_state_dict(
+            sd, num_convs=model_cfg["encoder"]["num_convs"]
+        )
     payload = {
         "format": "tsdiff_tpu.ckpt.v1",
         "config": config,
