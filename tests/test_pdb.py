@@ -314,6 +314,28 @@ def test_accumulate_protein_eps():
     assert np.abs(eps[counts > 0]).sum() > 0
 
 
+def test_preprocessing_cli_pdb_mode(tmp_path):
+    from tsdiff_tpu.cli import preprocessing
+    from tsdiff_tpu.data.dataset import load_dataset
+
+    (tmp_path / "a.pdb").write_text(_protein_chain(4, seed=0))
+    (tmp_path / "b.pdb").write_text(_protein_chain(6, seed=1))
+    # a GLY-only chain gets skipped
+    rows = [("N", "GLY", 1, (0, 0, 0), "N"), ("CA", "GLY", 1, (1.5, 0, 0), "C"),
+            ("C", "GLY", 1, (2, 1.4, 0), "C"), ("O", "GLY", 1, (1.3, 2.4, 0), "O")]
+    (tmp_path / "c.pdb").write_text("\n".join(
+        _atom_line(i + 1, n, rn, "A", ri, *xyz, el)
+        for i, (n, rn, ri, xyz, el) in enumerate(rows)))
+
+    preprocessing.main([
+        "--pdb_glob", str(tmp_path / "*.pdb"), "--save_dir", str(tmp_path / "out"),
+    ])
+    graphs, _ = load_dataset(str(tmp_path / "out" / "proteins.pkl"))
+    assert len(graphs) == 2
+    assert all("is_sidechain" in g for g in graphs)
+    assert {len(g["atom_type"]) for g in graphs} == {20, 30}
+
+
 def test_radius_restriction_in_model():
     """With is_sidechain, non-bonded backbone-backbone pairs get no radius
     edge (reference common.py:343-368)."""

@@ -31,7 +31,14 @@ def main(argv=None):
                         default="data/TS/wb97xd3/raw_data/wb97xd3_fwd_rev_chemprop.csv")
     parser.add_argument("--smarts_column", type=str, default="AAM")
     parser.add_argument("--ban_index", type=int, nargs="+", default=[20568, 20569, 20580, 20581])
+    parser.add_argument("--pdb_glob", type=str, default=None,
+                        help="protein mode: featurize PDB files matching this glob "
+                             "into a sidechain dataset at --save_dir/proteins.pkl "
+                             "(replaces the reference's dead prepare_pdb* builders)")
     args = parser.parse_args(argv)
+
+    if args.pdb_glob:
+        return _build_protein_dataset(args.pdb_glob, args.save_dir)
 
     from tqdm.auto import tqdm
 
@@ -88,6 +95,37 @@ def main(argv=None):
         f"graphs to {args.save_dir} (feat_dim="
         f"{sum(len(v) for v in feat_dict.values())})"
     )
+
+
+def _build_protein_dataset(pdb_glob: str, save_dir: str) -> str:
+    """Featurize PDB files into a sidechain-prediction dataset.
+
+    Working replacement for the reference's ``prepare_pdb2/pdblarge/
+    pdb_valtest`` (utils/datasets.py:31-221), which are dead upstream (their
+    sidechainnet import is commented out).  Sources are plain PDB files;
+    graphs that fail (GLY-only, bond-free) are skipped like the reference's
+    ``continue`` on ``pdb_to_data() is None``.
+    """
+    import glob as _glob
+
+    from tsdiff_tpu.data import save_dataset
+    from tsdiff_tpu.data.pdb import pdb_file_to_graph
+
+    paths = sorted(_glob.glob(pdb_glob))
+    if not paths:
+        raise SystemExit(f"no PDB files match {pdb_glob!r}")
+    graphs, skipped = [], 0
+    for path in paths:
+        g = pdb_file_to_graph(path)
+        if g is None:
+            skipped += 1
+            continue
+        graphs.append(g)
+    os.makedirs(save_dir, exist_ok=True)
+    out = os.path.join(save_dir, "proteins.pkl")
+    save_dataset(out, graphs)
+    print(f"Wrote {len(graphs)} protein graphs to {out} ({skipped} skipped)")
+    return out
 
 
 if __name__ == "__main__":
