@@ -336,6 +336,60 @@ def test_preprocessing_cli_pdb_mode(tmp_path):
     assert {len(g["atom_type"]) for g in graphs} == {20, 30}
 
 
+def test_write_pdb_roundtrip():
+    text = _protein_chain(4, seed=7)
+    g = pdb_to_graph(text)
+    from tsdiff_tpu.data.pdb import write_pdb
+    g2 = pdb_to_graph(write_pdb(g))
+    np.testing.assert_allclose(g2["pos"], g["pos"], atol=1e-3)
+    assert g2["atom_type"].tolist() == g["atom_type"].tolist()
+    assert g2["is_sidechain"].tolist() == g["is_sidechain"].tolist()
+    np.testing.assert_array_equal(g2["edge_index"], g["edge_index"])
+
+
+def test_protein_sampling_cli(tmp_path):
+    """preprocessing --pdb_glob -> train-free ckpt -> protein_sampling CLI."""
+    from tsdiff_tpu.cli import preprocessing, protein_sampling
+    from tsdiff_tpu.train import (init_train_state, make_optimizer,
+                                  save_checkpoint)
+    from tsdiff_tpu.train.trainer import TrainState
+
+    (tmp_path / "a.pdb").write_text(_protein_chain(5, seed=0))
+    preprocessing.main([
+        "--pdb_glob", str(tmp_path / "*.pdb"), "--save_dir", str(tmp_path),
+    ])
+
+    model = get_model(CFG_DSM)
+    g = pdb_to_graph(_protein_chain(5, seed=0))
+    batch = from_numpy_graphs([g], max_nodes=32)
+    params = model.init(
+        jax.random.PRNGKey(0), batch.atom_type, batch.pos, batch.bond_mat,
+        batch.node_mask, time_step=jnp.zeros((1,), jnp.int32),
+    )
+    state = TrainState(params=params, opt_state=None, step=jnp.asarray(0))
+    ckpt = str(tmp_path / "0.ckpt")
+    save_checkpoint(ckpt, Config(model=CFG_DSM.to_dict()), state)
+
+    protein_sampling.main([
+        ckpt, "--protein_set", str(tmp_path / "proteins.pkl"),
+        "--save_dir", str(tmp_path / "gen"), "--n_steps", "4",
+        "--step_lr", "1e-6", "--cutoff", "7.0", "--write_pdb",
+    ])
+    import pickle
+    res = pickle.load(open(tmp_path / "gen" / "proteins_gen.pkl", "rb"))
+    assert len(res) == 1
+    r = res[0]
+    backbone = ~r["is_sidechain"]
+    np.testing.assert_array_equal(r["pos_gen"][backbone], r["pos_gt"][backbone])
+    assert (r["coverage_counts"][r["is_sidechain"]] > 0).all()
+    assert np.isfinite(r["pos_gen"]).all()
+    # a regenerated PDB was written and reparses
+    pdbs = list((tmp_path / "gen").glob("*_gen.pdb"))
+    assert len(pdbs) == 1
+    g2 = pdb_to_graph(pdbs[0].read_text())
+    assert g2 is not None and len(g2["atom_type"]) == len(g["atom_type"])
+
+
 def test_radius_restriction_in_model():
     """With is_sidechain, non-bonded backbone-backbone pairs get no radius
     edge (reference common.py:343-368)."""

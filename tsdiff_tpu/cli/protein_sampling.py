@@ -1,0 +1,118 @@
+"""Full-protein sidechain generation CLI.
+
+    python -m tsdiff_tpu.cli.protein_sampling CKPT \
+        --protein_set proteins.pkl --save_dir generated [--write_pdb] ...
+
+Completes the protein workflow the reference left unfinished (its
+``accumulate_grad_from_subgraph`` inference path, utils/datasets.py:
+1210-1290, is dead code): loads a sidechain dataset built by
+``preprocessing --pdb_glob``, regenerates every sidechain from noise with
+the backbone pinned (tsdiff_tpu/diffusion/protein.py), and writes a results
+pickle (and optionally one regenerated ``.pdb`` per protein).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("ckpt", type=str, help="dualenc checkpoint (dsm or diffusion)")
+    parser.add_argument("--protein_set", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, required=True)
+    parser.add_argument("--start_idx", type=int, default=0)
+    parser.add_argument("--end_idx", type=int, default=9999)
+    parser.add_argument("--cutoff", type=float, default=10.0,
+                        help="subgraph-covering ball radius (A)")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="subgraphs per device batch")
+    parser.add_argument("--n_steps", type=int, default=100)
+    parser.add_argument("--step_lr", type=float, default=1e-6)
+    parser.add_argument("--global_start_sigma", type=float, default=float("inf"))
+    parser.add_argument("--w_global", type=float, default=0.2)
+    parser.add_argument("--clip", type=float, default=1000.0)
+    parser.add_argument("--seed", type=int, default=2022)
+    parser.add_argument("--use_ema", action="store_true", default=False)
+    parser.add_argument("--write_pdb", action="store_true", default=False,
+                        help="also write <save_dir>/<name>_gen.pdb per protein")
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from tsdiff_tpu.config import Config
+    from tsdiff_tpu.data.dataset import load_dataset
+    from tsdiff_tpu.data.pdb import write_pdb
+    from tsdiff_tpu.diffusion.protein import sample_protein_sidechains
+    from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from tsdiff_tpu.models import get_model
+    from tsdiff_tpu.train import load_checkpoint
+    from tsdiff_tpu.utils.misc import get_logger, seed_all
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = get_logger("protein_sampling", args.save_dir)
+    logger.info(args)
+
+    ck = load_checkpoint(args.ckpt)
+    model_cfg = Config(ck["config"]).model
+    model = get_model(model_cfg)
+    params = ck["params"]
+    if args.use_ema:
+        if ck.get("ema_params") is None:
+            logger.warning("--use_ema: checkpoint has no EMA weights; using raw params")
+        else:
+            params = ck["ema_params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    schedule = (
+        DiffusionSchedule.from_config(model_cfg)
+        if model.model_type == "diffusion"
+        else None
+    )
+    seed_all(args.seed)
+
+    graphs, _ = load_dataset(args.protein_set)
+    graphs = graphs[args.start_idx : args.end_idx]
+    logger.info(f"{len(graphs)} proteins selected")
+
+    results = []
+    key = jax.random.PRNGKey(args.seed)
+    for i, g in enumerate(graphs):
+        key, k = jax.random.split(key)
+        pos_gen, counts, nan = sample_protein_sidechains(
+            model, params, g, k, schedule=schedule,
+            cutoff=args.cutoff, batch_size=args.batch_size,
+            n_steps=args.n_steps, step_lr=args.step_lr,
+            global_start_sigma=args.global_start_sigma,
+            w_global=args.w_global, clip=args.clip, seed=args.seed + i,
+        )
+        sc = np.asarray(g["is_sidechain"], bool)
+        d = np.linalg.norm(pos_gen[sc] - np.asarray(g["pos"])[sc], axis=-1)
+        name = g.get("smiles") or f"protein_{args.start_idx + i}"
+        logger.info(
+            f"[{i + 1}/{len(graphs)}] {name}: sidechain RMSD "
+            f"{float(np.sqrt((d ** 2).mean())):.3f} A, "
+            f"covered {int((counts > 0).sum())}/{int(sc.sum())} sidechain atoms"
+            + (", NaN flagged" if nan else "")
+        )
+        results.append(dict(
+            name=name, pos_gen=pos_gen, pos_gt=np.asarray(g["pos"]),
+            is_sidechain=sc, coverage_counts=counts, nan=bool(nan),
+        ))
+        if args.write_pdb:
+            base = os.path.basename(str(name)).replace("/", "_") or f"protein_{i}"
+            out_pdb = os.path.join(args.save_dir, f"{base}_gen.pdb")
+            with open(out_pdb, "w") as f:
+                f.write(write_pdb(g, pos_gen))
+
+    out = os.path.join(args.save_dir, "proteins_gen.pkl")
+    with open(out, "wb") as f:
+        pickle.dump(results, f)
+    logger.info(f"Saved {len(results)} results to {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -301,6 +301,11 @@ def pdb_to_graph(
         is_alpha=is_alpha,
         atom2res=atom2res,
         atom2alpha_index=atom2alpha_index,
+        # identity columns kept for round-tripping back to PDB (write_pdb)
+        atom_name=list(atoms.name),
+        res_name=list(atoms.resname),
+        chain=list(atoms.chain),
+        res_num=atoms.resnum.copy(),
     )
 
 
@@ -348,6 +353,11 @@ def _ball_subgraph(
         is_sidechain=is_sidechain[keep_atom],
         atom2res=atom2res[keep_atom],
     )
+    for col in ("atom_name", "res_name", "chain"):
+        if col in graph:
+            sub[col] = [graph[col][i] for i in keep_index]
+    if "res_num" in graph:
+        sub["res_num"] = np.asarray(graph["res_num"])[keep_atom]
     if with_mapping:
         sub["mapping"] = keep_index
     return sub
@@ -427,6 +437,33 @@ def cover_protein_with_subgraphs(
         if sub is not None:
             subs.append(sub)
     return subs
+
+
+_Z_ELEMENT = {v: k for k, v in _ELEMENT_Z.items()}
+
+
+def write_pdb(graph: dict, pos: np.ndarray | None = None) -> str:
+    """Protein graph dict -> PDB ATOM records (inverse of ``parse_pdb`` for
+    graphs produced by ``pdb_to_graph``, which keeps the identity columns).
+    ``pos`` overrides the stored coordinates (e.g. regenerated sidechains).
+    """
+    if "atom_name" not in graph:
+        raise ValueError("graph lacks atom_name/res_name columns (not from pdb_to_graph?)")
+    pos = np.asarray(pos if pos is not None else graph["pos"], np.float32)
+    z = np.asarray(graph["atom_type"])
+    lines = []
+    for i in range(len(z)):
+        el = _Z_ELEMENT.get(int(z[i]), "X")
+        nm = graph["atom_name"][i]
+        nm_field = f" {nm:<3s}" if len(nm) < 4 else nm
+        x, y, w = pos[i]
+        lines.append(
+            f"ATOM  {i + 1:>5d} {nm_field:<4s} {graph['res_name'][i]:<3s} "
+            f"{graph['chain'][i]}{int(graph['res_num'][i]):>4d}    "
+            f"{x:8.3f}{y:8.3f}{w:8.3f}{1.0:6.2f}{0.0:6.2f}          {el:>2s}"
+        )
+    lines.append("END")
+    return "\n".join(lines) + "\n"
 
 
 class SidechainConformationDataset:
