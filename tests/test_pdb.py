@@ -390,6 +390,62 @@ def test_protein_sampling_cli(tmp_path):
     assert g2 is not None and len(g2["atom_type"]) == len(g["atom_type"])
 
 
+def test_batch_carries_sidechain_mask():
+    """from_numpy_graphs packs is_sidechain (padding False) when present."""
+    g = pdb_to_graph(_protein_chain(4, seed=0))
+    b = from_numpy_graphs([g], max_nodes=32)
+    assert b.is_sidechain is not None
+    sc = np.asarray(b.is_sidechain)
+    np.testing.assert_array_equal(sc[0, :20], np.asarray(g["is_sidechain"]))
+    assert not sc[0, 20:].any()
+    # molecule graphs (no mask) produce None
+    mol = dict(g)
+    mol.pop("is_sidechain")
+    assert from_numpy_graphs([mol], max_nodes=32).is_sidechain is None
+
+
+def test_train_cli_sidechain_mode(tmp_path):
+    """Full protein training workflow: --pdb_glob dataset -> train CLI with
+    dataset.type=sidechain -> checkpoint -> protein_sampling CLI."""
+    import yaml
+    from tsdiff_tpu.cli import preprocessing, protein_sampling
+    from tsdiff_tpu.cli import train as train_cli
+
+    for i, nres in enumerate((5, 7)):
+        (tmp_path / f"p{i}.pdb").write_text(_protein_chain(nres, seed=i))
+    preprocessing.main([
+        "--pdb_glob", str(tmp_path / "*.pdb"), "--save_dir", str(tmp_path),
+    ])
+    prot = str(tmp_path / "proteins.pkl")
+
+    config = {
+        "model": dict(CFG_DSM.to_dict()),
+        "train": {
+            "seed": 0, "batch_size": 4, "val_freq": 4, "log_freq": 4,
+            "max_iters": 4, "max_grad_norm": 3000.0, "anneal_power": 2.0,
+            "optimizer": {"type": "adam", "lr": 5.0e-4, "weight_decay": 0.0,
+                          "beta1": 0.95, "beta2": 0.999},
+            "scheduler": {"type": "plateau", "factor": 0.8, "patience": 10,
+                          "min_lr": 1.25e-4},
+        },
+        "dataset": {"type": "sidechain", "train": prot, "val": prot,
+                    "cutoff": 8.0, "subgraphs_per_protein": 4},
+    }
+    (tmp_path / "config.yml").write_text(yaml.safe_dump(config))
+    log_dir = train_cli.main([str(tmp_path / "config.yml"),
+                              "--logdir", str(tmp_path / "logs")])
+    import glob as _glob
+    ckpts = _glob.glob(f"{log_dir}/checkpoints/*.ckpt")
+    assert ckpts
+    out = protein_sampling.main([
+        ckpts[0], "--protein_set", prot, "--save_dir", str(tmp_path / "gen"),
+        "--n_steps", "3",
+    ])
+    import pickle
+    res = pickle.load(open(out, "rb"))
+    assert len(res) == 2 and all(np.isfinite(r["pos_gen"]).all() for r in res)
+
+
 def test_radius_restriction_in_model():
     """With is_sidechain, non-bonded backbone-backbone pairs get no radius
     edge (reference common.py:343-368)."""

@@ -103,8 +103,38 @@ def main(argv=None):
 
     # Datasets
     logger.info("Loading datasets...")
-    train_set = TSDataset(config.dataset.train)
-    val_set = TSDataset(config.dataset.val)
+    if config.dataset.get("type") == "sidechain":
+        # protein mode: pre-draw residue-complete subgraphs from each protein
+        # (reference capability utils/datasets.py:1129-1208; its corpus
+        # builders are dead upstream).  Batches carry is_sidechain and the
+        # dual objectives train in sidechain mode automatically.
+        from tsdiff_tpu.data.dataset import load_dataset
+        from tsdiff_tpu.data.pdb import SidechainConformationDataset
+
+        sc_cutoff = config.dataset.get("cutoff", 10.0)
+        n_sub = config.dataset.get("subgraphs_per_protein", 50)
+
+        def draw_subgraphs(path, seed, fix):
+            graphs, _ = load_dataset(path)
+            ds = SidechainConformationDataset(
+                graphs, cutoff=sc_cutoff, fix_subgraph=fix, seed=seed
+            )
+            out = []
+            for i in range(len(ds)):
+                for _ in range(1 if fix else n_sub):
+                    s = ds[i]
+                    if s is not None:
+                        out.append(s)
+            return out
+
+        train_set = TSDataset(draw_subgraphs(config.dataset.train, config.train.seed, False))
+        val_set = TSDataset(draw_subgraphs(config.dataset.val, 0, True))
+        logger.info(
+            f"sidechain mode: {len(train_set)} train / {len(val_set)} val subgraphs"
+        )
+    else:
+        train_set = TSDataset(config.dataset.train)
+        val_set = TSDataset(config.dataset.val)
     tpu_cfg = config.get("tpu", Config())
     bucket_sizes = tpu_cfg.get("bucket_sizes", None)
     train_loader = PaddedBatchLoader(

@@ -44,6 +44,10 @@ class ReactionBatch:
     pos: jax.Array        # (B, N, 3) float32
     bond_mat: jax.Array   # (B, N, N) int32 condensed edge types
     node_mask: jax.Array  # (B, N) bool
+    # optional protein-mode mask (tsdiff_tpu/data/pdb.py); None for molecules.
+    # Carried inside the batch so loaders/prefetch/sharding/training treat
+    # protein batches identically to reaction batches.
+    is_sidechain: jax.Array | None = None  # (B, N) bool
 
     @property
     def batch_size(self) -> int:
@@ -75,6 +79,15 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
     """
     n_max = max_nodes or max(int(g["atom_type"].shape[0]) for g in graphs)
 
+    sc = None
+    if all("is_sidechain" in g for g in graphs):
+        B_ = len(graphs)
+        sc = np.zeros((B_, n_max), dtype=bool)
+        for b, g in enumerate(graphs):
+            m = np.asarray(g["is_sidechain"], bool)
+            sc[b, : len(m)] = m
+        sc = jnp.asarray(sc)
+
     from tsdiff_tpu.data.native import pack_batch_native
 
     packed = pack_batch_native(graphs, n_max)
@@ -89,6 +102,7 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
             pos=jnp.asarray(pos),
             bond_mat=jnp.asarray(bond_mat),
             node_mask=jnp.asarray(node_mask),
+            is_sidechain=sc,
         )
     B = len(graphs)
     feat_dim = int(graphs[0]["r_feat"].shape[-1])
@@ -124,4 +138,5 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
         pos=jnp.asarray(pos),
         bond_mat=jnp.asarray(bond_mat),
         node_mask=jnp.asarray(node_mask),
+        is_sidechain=sc,
     )

@@ -82,6 +82,10 @@ def _empty_graph(feat_dim: int) -> dict:
         pos=np.zeros((0, 3), np.float32),
         edge_index=np.zeros((2, 0), np.int32),
         edge_type=np.zeros((0,), np.int32),
+        # present so protein (sidechain) batches keep their mask when a tail
+        # batch is padded — from_numpy_graphs packs is_sidechain only when
+        # every graph in the batch carries it
+        is_sidechain=np.zeros((0,), bool),
     )
 
 

@@ -104,12 +104,16 @@ def get_objective(
             dual_dsm_loss,
         )
 
+        # batches built from protein graphs carry is_sidechain (core/graph.py)
+        # and train in sidechain mode transparently
         if model.model_type == "diffusion":
             return lambda p, batch, key: dual_diffusion_loss(
-                model, p, schedule, batch, key, anneal_power=anneal_power
+                model, p, schedule, batch, key, anneal_power=anneal_power,
+                is_sidechain=batch.is_sidechain,
             )
         return lambda p, batch, key: dual_dsm_loss(
-            model, p, batch, key, anneal_power=anneal_power
+            model, p, batch, key, anneal_power=anneal_power,
+            is_sidechain=batch.is_sidechain,
         )
     raise NotImplementedError(f"No objective for {type(model).__name__}")
 
