@@ -446,6 +446,45 @@ def test_train_cli_sidechain_mode(tmp_path):
     assert len(res) == 2 and all(np.isfinite(r["pos_gen"]).all() for r in res)
 
 
+def test_covering_subgraphs_carry_center():
+    g = pdb_to_graph(_protein_chain(12, seed=2))
+    subs = cover_protein_with_subgraphs(g, np.random.default_rng(0), cutoff=6.0)
+    for s in subs:
+        assert 0 <= s["center"] < len(g["atom_type"])
+        assert not g["is_sidechain"][s["center"]]  # centers are alpha carbons
+
+
+def test_protein_sampling_diffusion_mode():
+    """Diffusion-mode protein sampling defaults to the FULL schedule and
+    returns physical-frame, finite coordinates with the backbone exact."""
+    from tsdiff_tpu.diffusion.protein import sample_protein_sidechains
+
+    cfg = Config(dict(CFG_DSM.to_dict()))
+    cfg.type = "diffusion"
+    model = get_model(cfg)
+    schedule = DiffusionSchedule.from_config(cfg)
+    g = pdb_to_graph(_protein_chain(10, seed=5))
+    batch = from_numpy_graphs([g], max_nodes=56)
+    params = model.init(
+        jax.random.PRNGKey(0), batch.atom_type, batch.pos, batch.bond_mat,
+        batch.node_mask,
+    )
+    pos, counts, nan = sample_protein_sidechains(
+        model, params, g, jax.random.PRNGKey(1), schedule=schedule,
+        cutoff=7.0, step_lr=1e-7, clip=20.0,
+    )
+    backbone = ~np.asarray(g["is_sidechain"], bool)
+    np.testing.assert_array_equal(pos[backbone], np.asarray(g["pos"])[backbone])
+    assert np.isfinite(pos).all()
+    assert (counts[np.asarray(g["is_sidechain"], bool)] > 0).all()
+    # n_steps beyond the schedule is clamped, not an error
+    pos2, _, _ = sample_protein_sidechains(
+        model, params, g, jax.random.PRNGKey(1), schedule=schedule,
+        cutoff=7.0, n_steps=10 ** 6, step_lr=1e-7, clip=20.0,
+    )
+    assert np.isfinite(pos2).all()
+
+
 def test_radius_restriction_in_model():
     """With is_sidechain, non-bonded backbone-backbone pairs get no radius
     edge (reference common.py:343-368)."""

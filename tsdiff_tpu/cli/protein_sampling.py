@@ -29,7 +29,8 @@ def main(argv=None):
                         help="subgraph-covering ball radius (A)")
     parser.add_argument("--batch_size", type=int, default=8,
                         help="subgraphs per device batch")
-    parser.add_argument("--n_steps", type=int, default=100)
+    parser.add_argument("--n_steps", type=int, default=None,
+                        help="dsm: steps per sigma level (default 100); diffusion: steps of the schedule, default full")
     parser.add_argument("--step_lr", type=float, default=1e-6)
     parser.add_argument("--global_start_sigma", type=float, default=float("inf"))
     parser.add_argument("--w_global", type=float, default=0.2)
@@ -88,6 +89,17 @@ def main(argv=None):
             global_start_sigma=args.global_start_sigma,
             w_global=args.w_global, clip=args.clip, seed=args.seed + i,
         )
+        if nan:
+            # same policy as cli/sampling.py: one retry at clip 20
+            logger.warning("NaN during sampling; retrying with clip=20")
+            key, k = jax.random.split(key)
+            pos_gen, counts, nan = sample_protein_sidechains(
+                model, params, g, k, schedule=schedule,
+                cutoff=args.cutoff, batch_size=args.batch_size,
+                n_steps=args.n_steps, step_lr=args.step_lr,
+                global_start_sigma=args.global_start_sigma,
+                w_global=args.w_global, clip=20.0, seed=args.seed + i + 7919,
+            )
         sc = np.asarray(g["is_sidechain"], bool)
         d = np.linalg.norm(pos_gen[sc] - np.asarray(g["pos"])[sc], axis=-1)
         name = g.get("smiles") or f"protein_{args.start_idx + i}"
@@ -102,8 +114,9 @@ def main(argv=None):
             is_sidechain=sc, coverage_counts=counts, nan=bool(nan),
         ))
         if args.write_pdb:
-            base = os.path.basename(str(name)).replace("/", "_") or f"protein_{i}"
-            out_pdb = os.path.join(args.save_dir, f"{base}_gen.pdb")
+            # index prefix: distinct proteins can share a basename
+            base = os.path.basename(str(name)) or "protein"
+            out_pdb = os.path.join(args.save_dir, f"{args.start_idx + i:04d}_{base}_gen.pdb")
             with open(out_pdb, "w") as f:
                 f.write(write_pdb(g, pos_gen))
 

@@ -103,11 +103,15 @@ def main(argv=None):
 
     # Datasets
     logger.info("Loading datasets...")
-    if config.dataset.get("type") == "sidechain":
-        # protein mode: pre-draw residue-complete subgraphs from each protein
-        # (reference capability utils/datasets.py:1129-1208; its corpus
-        # builders are dead upstream).  Batches carry is_sidechain and the
-        # dual objectives train in sidechain mode automatically.
+    tpu_cfg = config.get("tpu", Config())
+    bucket_sizes = tpu_cfg.get("bucket_sizes", None)
+    sidechain_mode = config.dataset.get("type") == "sidechain"
+    if sidechain_mode:
+        # protein mode: residue-complete subgraphs drawn FRESH each epoch
+        # (matching SidechainConformationDataset's draw-per-access semantics,
+        # reference utils/datasets.py:1129-1208, whose corpus builders are
+        # dead upstream).  Batches carry is_sidechain and the dual
+        # objectives train in sidechain mode automatically.
         from tsdiff_tpu.data.dataset import load_dataset
         from tsdiff_tpu.data.pdb import SidechainConformationDataset
 
@@ -127,20 +131,30 @@ def main(argv=None):
                         out.append(s)
             return out
 
-        train_set = TSDataset(draw_subgraphs(config.dataset.train, config.train.seed, False))
+        def sidechain_epochs():
+            epoch = 0
+            while True:
+                loader = PaddedBatchLoader(
+                    TSDataset(draw_subgraphs(
+                        config.dataset.train, config.train.seed + epoch, False
+                    )),
+                    config.train.batch_size, shuffle=True,
+                    bucket_sizes=bucket_sizes, seed=config.train.seed + epoch,
+                )
+                yield from loader
+                epoch += 1
+
+        train_stream = sidechain_epochs()
         val_set = TSDataset(draw_subgraphs(config.dataset.val, 0, True))
-        logger.info(
-            f"sidechain mode: {len(train_set)} train / {len(val_set)} val subgraphs"
-        )
+        logger.info(f"sidechain mode: {len(val_set)} fixed val subgraphs; "
+                    f"train subgraphs redrawn every epoch")
     else:
         train_set = TSDataset(config.dataset.train)
         val_set = TSDataset(config.dataset.val)
-    tpu_cfg = config.get("tpu", Config())
-    bucket_sizes = tpu_cfg.get("bucket_sizes", None)
-    train_loader = PaddedBatchLoader(
-        train_set, config.train.batch_size, shuffle=True,
-        bucket_sizes=bucket_sizes, seed=config.train.seed,
-    )
+        train_stream = inf_iterator(PaddedBatchLoader(
+            train_set, config.train.batch_size, shuffle=True,
+            bucket_sizes=bucket_sizes, seed=config.train.seed,
+        ))
     val_loader = PaddedBatchLoader(
         val_set, config.train.batch_size, shuffle=False, bucket_sizes=bucket_sizes
     )
@@ -152,7 +166,7 @@ def main(argv=None):
     # background packing + host->device transfer, overlapped with compute
     train_iter = iter(
         Prefetcher(
-            inf_iterator(train_loader), depth=2,
+            train_stream, depth=2,
             transfer=lambda b: shard_batch(b, mesh),
         )
     )
@@ -183,7 +197,8 @@ def main(argv=None):
     )
     scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
 
-    probe = next(iter(train_loader))
+    # val loader probe: same feature dims, and doesn't consume the train stream
+    probe = next(iter(val_loader))
     params = init_model_params(model, jax.random.key(config.train.seed), probe)
     state = init_train_state(model, tx, params, ema_decay=ema_decay)
     start_iter = 1

@@ -79,6 +79,13 @@ def from_numpy_graphs(graphs: list[dict], max_nodes: int | None = None) -> React
     """
     n_max = max_nodes or max(int(g["atom_type"].shape[0]) for g in graphs)
 
+    for g in graphs:
+        if int(g["atom_type"].shape[0]) > n_max:
+            raise ValueError(
+                f"graph with {int(g['atom_type'].shape[0])} atoms exceeds "
+                f"max_nodes={n_max}"
+            )
+
     sc = None
     if all("is_sidechain" in g for g in graphs):
         B_ = len(graphs)

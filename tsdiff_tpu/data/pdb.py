@@ -306,6 +306,7 @@ def pdb_to_graph(
         res_name=list(atoms.resname),
         chain=list(atoms.chain),
         res_num=atoms.resnum.copy(),
+        icode=list(atoms.icode),
     )
 
 
@@ -353,7 +354,7 @@ def _ball_subgraph(
         is_sidechain=is_sidechain[keep_atom],
         atom2res=atom2res[keep_atom],
     )
-    for col in ("atom_name", "res_name", "chain"):
+    for col in ("atom_name", "res_name", "chain", "icode"):
         if col in graph:
             sub[col] = [graph[col][i] for i in keep_index]
     if "res_num" in graph:
@@ -435,6 +436,7 @@ def cover_protein_with_subgraphs(
         covered |= _ball_keep_atoms(graph, center, cutoff)
         sub = _ball_subgraph(graph, center, cutoff, with_mapping=True)
         if sub is not None:
+            sub["center"] = int(center)  # full-protein atom index of the ball center
             subs.append(sub)
     return subs
 
@@ -451,15 +453,22 @@ def write_pdb(graph: dict, pos: np.ndarray | None = None) -> str:
         raise ValueError("graph lacks atom_name/res_name columns (not from pdb_to_graph?)")
     pos = np.asarray(pos if pos is not None else graph["pos"], np.float32)
     z = np.asarray(graph["atom_type"])
+    if len(z) > 99999 or (len(z) and int(np.max(graph["res_num"])) > 9999):
+        raise ValueError(
+            "PDB fixed columns cap at 99999 atoms / residue number 9999; "
+            "this protein exceeds the format"
+        )
+    icodes = graph.get("icode") or [""] * len(z)
     lines = []
     for i in range(len(z)):
         el = _Z_ELEMENT.get(int(z[i]), "X")
         nm = graph["atom_name"][i]
         nm_field = f" {nm:<3s}" if len(nm) < 4 else nm
+        ic = (icodes[i] or " ")[:1]
         x, y, w = pos[i]
         lines.append(
             f"ATOM  {i + 1:>5d} {nm_field:<4s} {graph['res_name'][i]:<3s} "
-            f"{graph['chain'][i]}{int(graph['res_num'][i]):>4d}    "
+            f"{graph['chain'][i]}{int(graph['res_num'][i]):>4d}{ic}   "
             f"{x:8.3f}{y:8.3f}{w:8.3f}{1.0:6.2f}{0.0:6.2f}          {el:>2s}"
         )
     lines.append("END")

@@ -297,27 +297,20 @@ def accumulate_protein_eps(
     Returns ``(eps (n, 3) float32, counts (n,) int)``; atoms in no scored
     subgraph (e.g. GLY-only balls) have count 0 and eps 0.
     """
-    from tsdiff_tpu.core.graph import from_numpy_graphs
-    from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs, pack_sidechain_mask
+    # lazy import: diffusion/protein.py imports this module
+    from tsdiff_tpu.diffusion.protein import covering_batches
 
-    rng = np.random.default_rng(seed)
     g = dict(graph)
     if pos_override is not None:
         g["pos"] = np.asarray(pos_override, np.float32)
-    subs = cover_protein_with_subgraphs(g, rng, cutoff)
     n = len(np.asarray(graph["atom_type"]))
     eps_acc = np.zeros((n, 3), np.float32)
     counts = np.zeros(n, np.int64)
-    if not subs:
-        return eps_acc, counts
 
-    n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
-    for start in range(0, len(subs), batch_size):
-        chunk = subs[start : start + batch_size]
-        batch = from_numpy_graphs(chunk, max_nodes=n_pad)
-        sc = jnp.asarray(pack_sidechain_mask(chunk, n_pad))
+    for chunk, batch in covering_batches(g, cutoff, batch_size, seed):
         eps_fn = make_dual_eps_fn(
-            model, params, batch, w_global=w_global, clip=clip, is_sidechain=sc
+            model, params, batch, w_global=w_global, clip=clip,
+            is_sidechain=batch.is_sidechain,
         )
         B = batch.atom_type.shape[0]
         eps = eps_fn(

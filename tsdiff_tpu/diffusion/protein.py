@@ -7,10 +7,13 @@ of a protein whose backbone is known.
 
 Strategy: cover the protein with alpha-centered residue-complete subgraphs
 (tsdiff_tpu/data/pdb.py), run the backbone-pinned sampler on padded batches
-of subgraphs, and scatter the sampled sidechain coordinates back onto the
-full protein.  Because the backbone is pinned to the ground-truth frame in
-every subgraph, all subgraphs sample in the SAME global frame — overlapping
-sidechain predictions can be averaged directly, no alignment step.
+of subgraphs, and write the sampled sidechain coordinates back onto the full
+protein.  Because the backbone is pinned to the ground-truth frame in every
+subgraph, all subgraphs sample in the SAME global frame.  Each RESIDUE takes
+all of its sidechain atoms from a single owning subgraph (the one whose
+center is nearest its CA) — overlapping subgraphs draw independent samples,
+and averaging two different rotamers would produce non-physical collapsed
+geometry, so overlaps are resolved by ownership, never by averaging.
 """
 
 from __future__ import annotations
@@ -24,7 +27,31 @@ from tsdiff_tpu.diffusion.dual_objective import (
     dual_dynamic_sampling,
     make_dual_eps_fn,
 )
-from tsdiff_tpu.diffusion.sampler import SamplingSettings
+from tsdiff_tpu.diffusion.sampler import SamplingSettings, final_frame_scale
+
+
+def covering_batches(graph: dict, cutoff: float, batch_size: int, seed: int):
+    """Yield ``(chunk, batch)`` padded-batch groups of covering subgraphs.
+
+    Shared scaffold for subgraph-ensemble scoring
+    (``dual_objective.accumulate_protein_eps``) and sidechain generation
+    (``sample_protein_sidechains``): cover, pad to a common multiple-of-8
+    node count, chunk.  ``batch.is_sidechain`` carries the per-atom mask
+    (core/graph.from_numpy_graphs packs it); each subgraph dict carries
+    ``mapping`` (original atom indices) and ``center`` (covering-ball
+    center atom).
+    """
+    from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs
+
+    rng = np.random.default_rng(seed)
+    subs = cover_protein_with_subgraphs(graph, rng, cutoff)
+    if not subs:
+        return
+    n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
+    for start in range(0, len(subs), batch_size):
+        chunk = subs[start : start + batch_size]
+        yield chunk, from_numpy_graphs(chunk, max_nodes=n_pad)
 
 
 def sample_protein_sidechains(
@@ -35,7 +62,7 @@ def sample_protein_sidechains(
     schedule=None,
     cutoff: float = 10.0,
     batch_size: int = 8,
-    n_steps: int = 100,
+    n_steps: int | None = None,
     step_lr: float = 1e-6,
     global_start_sigma: float = float("inf"),
     w_global: float = 0.2,
@@ -45,60 +72,89 @@ def sample_protein_sidechains(
     """Regenerate all sidechains of one protein from noise.
 
     Dispatches on ``model.model_type``: ``dsm`` runs the annealed-Langevin
-    ladder (reference dualenc.py:1102-1203 semantics), ``diffusion`` the
-    reverse-diffusion loop (``schedule`` required).  Returns
-    ``(pos (n, 3), counts (n,), nan_flag)`` where ``pos`` equals the input
-    backbone exactly and sampled (count-averaged) sidechain coordinates
-    elsewhere; atoms covered by no scored subgraph keep their input
-    position with count 0.
+    ladder with ``n_steps`` PER sigma level (default 100; reference
+    dualenc.py:1102-1203 semantics); ``diffusion`` runs the reverse
+    diffusion over ``n_steps`` of the schedule counted back from t=T
+    (default: the FULL schedule — a partial count would only walk the
+    highest-noise steps and never denoise) and rescales the sampled
+    sidechains by ``final_frame_scale`` (identity for the full schedule).
+
+    Returns ``(pos (n, 3), counts (n,), nan_flag)``: ``pos`` equals the
+    input backbone exactly; each residue's sidechain comes from the one
+    covering subgraph whose center is nearest its CA (``counts`` still
+    reports how many subgraphs covered each atom); residues covered by no
+    scored subgraph keep their input coordinates with count 0.
     """
-    from tsdiff_tpu.core.graph import from_numpy_graphs
-    from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs, pack_sidechain_mask
+    is_dsm = model.model_type == "dsm"
+    if n_steps is None:
+        n_steps = 100 if is_dsm else None  # diffusion: full schedule below
+    if not is_dsm:
+        assert schedule is not None, "diffusion mode needs a schedule"
+        T = int(np.asarray(schedule.betas).shape[0])
+        n_steps = T if n_steps is None else min(n_steps, T)
 
-    rng = np.random.default_rng(seed)
-    subs = cover_protein_with_subgraphs(graph, rng, cutoff)
     n = len(np.asarray(graph["atom_type"]))
-    pos_out = np.asarray(graph["pos"], np.float32).copy()
-    acc = np.zeros((n, 3), np.float64)
+    pos_in = np.asarray(graph["pos"], np.float32)
+    atom2res = np.asarray(graph["atom2res"])
+    pos_out = pos_in.copy()
     counts = np.zeros(n, np.int64)
+    # per-residue owner: nearest covering-ball center to the residue's CA
+    n_res = int(atom2res.max()) + 1
+    owner_dist = np.full(n_res, np.inf)
     any_nan = False
-    if not subs:
-        return pos_out, counts, any_nan
 
-    n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
-    for start in range(0, len(subs), batch_size):
-        chunk = subs[start : start + batch_size]
-        batch = from_numpy_graphs(chunk, max_nodes=n_pad)
-        sc = jnp.asarray(pack_sidechain_mask(chunk, n_pad))
+    for chunk, batch in covering_batches(graph, cutoff, batch_size, seed):
+        sc = batch.is_sidechain
         eps_fn = make_dual_eps_fn(
             model, params, batch, w_global=w_global, clip=clip, is_sidechain=sc
         )
         key, k_init, k_run = jax.random.split(key, 3)
         pos_init = jax.random.normal(k_init, batch.pos.shape)
-        if model.model_type == "dsm":
+        if is_dsm:
             pos, _, nan = dsm_annealed_sampling(
                 eps_fn, np.asarray(model.sigmas), pos_init, batch.node_mask,
                 k_run, n_steps=n_steps, step_lr=step_lr,
                 global_start_sigma=global_start_sigma,
                 is_sidechain=sc, pos_gt=batch.pos,
             )
+            scale = 1.0
         else:
-            assert schedule is not None, "diffusion mode needs a schedule"
-            settings = SamplingSettings(sampling_type="ld", n_steps=n_steps, step_lr=step_lr)
+            settings = SamplingSettings(
+                sampling_type="ld", n_steps=n_steps, step_lr=step_lr
+            )
             pos, _, nan = dual_dynamic_sampling(
                 eps_fn, schedule, pos_init, batch.node_mask, k_run, settings,
                 global_start_sigma=global_start_sigma,
                 is_sidechain=sc, pos_gt=batch.pos,
             )
+            # scaled -> physical frame for the sampled (sidechain) atoms;
+            # the pinned backbone is already physical (see cli/sampling.py
+            # final_frame_scale use; ~1 for the full schedule)
+            scale = final_frame_scale(schedule, settings)
         any_nan |= bool(nan)
         pos = np.asarray(pos)
         for b, s in enumerate(chunk):
             m = len(s["atom_type"])
             scm = np.asarray(s["is_sidechain"], bool)
             idx = s["mapping"][scm]
-            acc[idx] += pos[b, :m][scm]
             counts[idx] += 1
+            if nan and not np.isfinite(pos[b, :m][scm]).all():
+                continue  # keep prior/input coords over NaN predictions
+            # residues whose CA is closer to this subgraph's center than to
+            # any previous owner take their whole sidechain from this sample
+            center = s["center"]
+            res_here = np.unique(atom2res[idx])
+            d_center = np.full(n_res, np.inf)
+            for r in res_here:
+                ca = np.nonzero((atom2res == r) & np.asarray(graph["is_alpha"], bool))[0]
+                anchor = pos_in[ca[0]] if len(ca) else pos_in[atom2res == r].mean(0)
+                d_center[r] = np.linalg.norm(anchor - pos_in[center])
+            take_res = {int(r) for r in res_here if d_center[r] < owner_dist[r]}
+            if not take_res:
+                continue
+            take = np.asarray([int(atom2res[i]) in take_res for i in idx])
+            pos_out[idx[take]] = (pos[b, :m][scm][take] * scale).astype(np.float32)
+            for r in take_res:
+                owner_dist[r] = d_center[r]
 
-    nz = counts > 0
-    pos_out[nz] = (acc[nz] / counts[nz, None]).astype(np.float32)
     return pos_out, counts, any_nan
