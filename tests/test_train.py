@@ -150,6 +150,36 @@ def test_ema_tracking_and_checkpoint(tmp_path):
     assert load_checkpoint(p)["ema_params"] is None
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: async save -> load returns the pickle-format payload;
+    get_checkpoint_path discovers .orbax dirs."""
+    pytest.importorskip("orbax.checkpoint")
+    from tsdiff_tpu.train.orbax_io import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+        wait_for_saves,
+    )
+
+    rng = np.random.default_rng(4)
+    batch = make_batch(rng, [5], n_pad=8)
+    model, schedule, tx, state, step = _setup(batch)
+    cfg = Config(model=MODEL_CFG.to_dict())
+    p = str(tmp_path / "7.orbax")
+    save_checkpoint_orbax(p, cfg, state, {"lr": 5e-4}, iteration=7, avg_val_loss=2.5)
+    wait_for_saves()
+    ck = load_checkpoint_orbax(p)
+    assert ck["iteration"] == 7 and ck["avg_val_loss"] == 2.5
+    assert ck["config"]["model"]["hidden_dim"] == MODEL_CFG.hidden_dim
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(ck["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # generic loader + discovery handle the orbax dir transparently
+    assert load_checkpoint(p)["iteration"] == 7
+    path, it = get_checkpoint_path(str(tmp_path))
+    assert it == 7 and path.endswith("7.orbax")
+
+
 def test_dp_sharded_train_step_matches_single_device():
     """Same batch, sharded over an 8-way dp mesh vs unsharded: identical loss
     and identical updated params (XLA inserts the gradient psum)."""

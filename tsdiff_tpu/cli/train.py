@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("--max_iters", type=int, default=None, help="override config max_iters")
     parser.add_argument("--profile", action="store_true",
                         help="log per-phase timings; write a jax.profiler device trace")
+    parser.add_argument("--ckpt_backend", type=str, default="pickle",
+                        choices=["pickle", "orbax"],
+                        help="orbax: async per-array checkpoint directories")
     parser.add_argument("--packed_train", action="store_true", default=False,
                         help="offset-packed XLA forward in the loss (condensenc + mlp "
                              "edge encoder; ~2x fewer pair-MLP FLOPs, parity-tested)")
@@ -56,6 +59,7 @@ def main(argv=None):
         init_train_state,
         init_model_params,
         load_checkpoint,
+        restore_opt_state,
         make_eval_step,
         make_mesh,
         make_optimizer,
@@ -213,7 +217,7 @@ def main(argv=None):
         loaded_params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
         state = TrainState(
             params=loaded_params,
-            opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
+            opt_state=restore_opt_state(state.opt_state, ck["opt_state"]),
             step=jnp.asarray(start_iter, jnp.int32),
             # a pre-EMA checkpoint seeds the EMA from its own weights, never
             # from the fresh random init
@@ -305,17 +309,35 @@ def main(argv=None):
                 avg_val_loss = validate(it)
                 if avg_val_loss < best_loss:
                     best_loss = avg_val_loss
-                    save_checkpoint(
-                        os.path.join(ckpt_dir, f"{it}.ckpt"),
-                        config,
-                        jax.device_get(state),
-                        scheduler.state_dict(),
-                        iteration=it,
-                        avg_val_loss=avg_val_loss,
-                    )
+                    if args.ckpt_backend == "orbax":
+                        from tsdiff_tpu.train.orbax_io import save_checkpoint_orbax
+
+                        # async: the write overlaps the next training steps
+                        save_checkpoint_orbax(
+                            os.path.join(ckpt_dir, f"{it}.orbax"),
+                            config,
+                            jax.device_get(state),
+                            scheduler.state_dict(),
+                            iteration=it,
+                            avg_val_loss=avg_val_loss,
+                        )
+                    else:
+                        save_checkpoint(
+                            os.path.join(ckpt_dir, f"{it}.ckpt"),
+                            config,
+                            jax.device_get(state),
+                            scheduler.state_dict(),
+                            iteration=it,
+                            avg_val_loss=avg_val_loss,
+                        )
                     logger.info(f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})")
     except KeyboardInterrupt:
         logger.info("Terminating...")
+    finally:
+        if args.ckpt_backend == "orbax":
+            from tsdiff_tpu.train.orbax_io import wait_for_saves
+
+            wait_for_saves()
 
     if timer is not None:
         logger.info("Phase timings:\n%s", timer.summary())

@@ -254,7 +254,8 @@ def packed_score_pallas(
             transcendentals=B * (num_blocks + 4) * P * H,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
     )(dv, cv, zv, *types, *[w[k] for k in w_order])

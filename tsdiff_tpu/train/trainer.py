@@ -206,7 +206,35 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+def restore_opt_state(template, restored):
+    """Rebuild an optax opt_state from a checkpoint payload.
+
+    The pickle backend round-trips the optax NamedTuple structure; the orbax
+    backend restores nested plain containers (tuples/NamedTuples come back
+    as dicts), so reshape the restored LEAVES into the template's structure
+    — leaf order is preserved by both backends.
+    """
+    tmpl_def = jax.tree_util.tree_structure(template)
+    if jax.tree_util.tree_structure(restored) == tmpl_def:
+        return jax.tree_util.tree_map(jnp.asarray, restored)
+    leaves = jax.tree_util.tree_leaves(restored)
+    tmpl_leaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"opt_state leaf count mismatch: checkpoint {len(leaves)} vs "
+            f"optimizer {len(tmpl_leaves)} (different optimizer config?)"
+        )
+    return jax.tree_util.tree_unflatten(
+        tmpl_def, [jnp.asarray(x) for x in leaves]
+    )
+
+
 def load_checkpoint(path: str) -> dict:
+    """Load either backend: pickle file (default) or orbax directory."""
+    if os.path.isdir(path):
+        from tsdiff_tpu.train.orbax_io import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     assert payload.get("format") == "tsdiff_tpu.ckpt.v1", f"unknown checkpoint format in {path}"
@@ -214,14 +242,16 @@ def load_checkpoint(path: str) -> dict:
 
 
 def get_checkpoint_path(ckpt_dir: str, it: int | None = None) -> tuple[str, int]:
-    """Latest (or specific) '<iteration>.ckpt' in a directory
-    (reference utils/misc.py:106-113)."""
-    iters = sorted(
-        int(f.split(".")[0])
-        for f in os.listdir(ckpt_dir)
-        if f.endswith(".ckpt") and f.split(".")[0].isdigit()
-    )
-    if not iters:
+    """Latest (or specific) '<iteration>.ckpt' file or '<iteration>.orbax'
+    directory in a directory (reference utils/misc.py:106-113)."""
+    entries = {}
+    for f in os.listdir(ckpt_dir):
+        stem, _, ext = f.partition(".")
+        if ext in ("ckpt", "orbax") and stem.isdigit():
+            entries[int(stem)] = f
+    if not entries:
         raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
-    chosen = it if it is not None else iters[-1]
-    return os.path.join(ckpt_dir, f"{chosen}.ckpt"), chosen
+    chosen = it if it is not None else max(entries)
+    if chosen not in entries:
+        raise FileNotFoundError(f"no checkpoint for iteration {chosen} in {ckpt_dir}")
+    return os.path.join(ckpt_dir, entries[chosen]), chosen
