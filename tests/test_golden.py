@@ -229,3 +229,64 @@ def test_golden_update_coefficients():
         np.testing.assert_allclose(co.a[k], a, rtol=1e-5, err_msg=f"a at i={i}")
         np.testing.assert_allclose(co.b[k], b, rtol=1e-5, err_msg=f"b at i={i}")
         np.testing.assert_allclose(co.c[k], c, rtol=1e-5, atol=1e-8, err_msg=f"c at i={i}")
+
+
+def test_dual_branch_losses_hand_computed():
+    """Dual-encoder global/local branch losses on a 3-atom 3-4-5 triangle,
+    every number derived on paper (reference dualenc.py:498-553 semantics:
+    global branch over non-local in-cutoff edges, local over typed edges,
+    targets via eq_transform of d_target).
+
+    Geometry: perturbed p0=(0,0,0) p1=(3,0,0) p2=(0,4,0) (d01=3 d02=4
+    d12=5); ground truth g0=(0,0,0) g1=(2,0,0) g2=(0,5,0) (d01=2 d02=5
+    d12=sqrt(29)).  sigma=1 so d_target = d_gt - d_perturbed.  Typed (local)
+    edge only 0-1; constant predictions eg=0.2, el=0.5 on the dense grid.
+    """
+    import jax.numpy as jnp
+
+    from tsdiff_tpu.diffusion.dual_objective import _branch_losses
+    from tsdiff_tpu.models.dualenc import DualEdges
+
+    p = jnp.asarray([[[0.0, 0, 0], [3, 0, 0], [0, 4, 0]]])
+    mask_local = jnp.zeros((1, 3, 3), bool).at[0, 0, 1].set(True).at[0, 1, 0].set(True)
+    off_diag = ~jnp.eye(3, dtype=bool)[None]
+    edges = DualEdges(
+        mask_global=off_diag, mask_local=mask_local,
+        edge_type=mask_local.astype(jnp.int32),
+    )
+    # masked entries (diagonal) carry the mask-safe dummy 1.0, matching
+    # pairwise_distance(pos, mask_global)
+    d_pert = jnp.asarray([[[1.0, 3, 4], [3, 1, 5], [4, 5, 1]]])
+    s29 = math.sqrt(29.0)
+    # d_target = d_gt - d_pert (sigma = 1)
+    d_target = jnp.asarray([[[0.0, 2 - 3, 5 - 4], [2 - 3, 0, s29 - 5],
+                             [5 - 4, s29 - 5, 0]]])
+    eg = jnp.full((1, 3, 3), 0.2)
+    el = jnp.full((1, 3, 3), 0.5)
+
+    lg, ll = _branch_losses(eg, el, edges, d_pert, None, p, d_target, cutoff=100.0)
+
+    # eq_transform counts every DIRECTED edge at both endpoints (reference
+    # geometry.py:22-30 += at i, -= at j over a both-directions edge list),
+    # so each symmetric pair contributes TWICE per node:
+    #   node_eq[i] = 2 * sum_j w_ij (p_i - p_j) / d_ij     (symmetric w)
+    # global branch (edges 0-2 and 1-2; t02 = +1, t12 = sqrt(29) - 5):
+    t12 = s29 - 5.0
+    tgt = {
+        0: 2 * np.array([0.0, -1.0, 0.0]),                    # t02*(p0-p2)/4
+        1: 2 * np.array([t12 * 3 / 5, -t12 * 4 / 5, 0.0]),    # t12*(p1-p2)/5
+        2: 2 * (np.array([0.0, 1.0, 0.0])                     # t02*(p2-p0)/4
+                + np.array([-t12 * 3 / 5, t12 * 4 / 5, 0.0])),  # t12*(p2-p1)/5
+    }
+    prd = {
+        0: 2 * np.array([0.0, -0.2, 0.0]),
+        1: 2 * np.array([0.12, -0.16, 0.0]),
+        2: 2 * np.array([-0.12, 0.2 + 0.16, 0.0]),
+    }
+    exp_lg = [float(((prd[i] - tgt[i]) ** 2).sum()) for i in range(3)]
+    # local branch (edge 0-1 only; t01 = -1, el = 0.5):
+    #   targets n0 = 2*(1,0,0), n1 = 2*(-1,0,0); preds -+2*(0.5,0,0)
+    exp_ll = [(2 * 1.5) ** 2, (2 * 1.5) ** 2, 0.0]
+
+    np.testing.assert_allclose(np.asarray(lg)[0], exp_lg, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ll)[0], exp_ll, rtol=1e-6)
