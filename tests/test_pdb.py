@@ -485,6 +485,51 @@ def test_protein_sampling_diffusion_mode():
     assert np.isfinite(pos2).all()
 
 
+def test_protein_ownership_never_averages(monkeypatch):
+    """Overlapping covering subgraphs must not blend rotamers: every
+    residue's sidechain displacement equals ONE subgraph's prediction."""
+    import tsdiff_tpu.diffusion.protein as protein_mod
+    from tsdiff_tpu.diffusion.protein import sample_protein_sidechains
+
+    g = pdb_to_graph(_protein_chain(12, seed=2))
+    model = get_model(CFG_DSM)
+    batch0 = from_numpy_graphs([g], max_nodes=72)
+    params = model.init(
+        jax.random.PRNGKey(0), batch0.atom_type, batch0.pos, batch0.bond_mat,
+        batch0.node_mask, time_step=jnp.zeros((1,), jnp.int32),
+    )
+
+    # fake sampler: each subgraph b returns gt + a distinct constant offset
+    calls = []
+
+    def fake_dsm(eps_fn, sigmas, pos_init, node_mask, key, **kw):
+        pos_gt = kw["pos_gt"]
+        B = pos_gt.shape[0]
+        offs = (jnp.arange(B, dtype=jnp.float32) + 1 + len(calls) * 10)[:, None, None]
+        calls.append(B)
+        sc3 = kw["is_sidechain"][..., None]
+        return jnp.where(sc3, pos_gt + offs, pos_gt), None, False
+
+    monkeypatch.setattr(protein_mod, "dsm_annealed_sampling", fake_dsm)
+    # batch_size=1 so every subgraph gets a distinct offset
+    pos, counts, nan = sample_protein_sidechains(
+        model, params, g, jax.random.PRNGKey(1), cutoff=6.0, batch_size=1,
+    )
+    sc = np.asarray(g["is_sidechain"], bool)
+    atom2res = np.asarray(g["atom2res"])
+    disp = pos - np.asarray(g["pos"])
+    offsets_seen = set()
+    for r in np.unique(atom2res[sc]):
+        rows = disp[sc & (atom2res == r)]
+        vals = np.unique(np.round(rows, 5))
+        # all 3 components of all sidechain atoms of a residue share one
+        # exact offset -> came from exactly one subgraph, no averaging
+        assert len(vals) == 1, (r, vals)
+        offsets_seen.add(float(vals[0]))
+    assert len(offsets_seen) >= 2  # multiple subgraphs actually contributed
+    np.testing.assert_array_equal(pos[~sc], np.asarray(g["pos"])[~sc])
+
+
 def test_radius_restriction_in_model():
     """With is_sidechain, non-bonded backbone-backbone pairs get no radius
     edge (reference common.py:343-368)."""
