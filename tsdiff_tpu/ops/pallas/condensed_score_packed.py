@@ -255,7 +255,10 @@ def packed_score_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel",)
+            # grid steps are independent graphs: lets Mosaic overlap steps
+            # (measured: N=24 6.11 -> 5.97 ms, N=16 neutral; vmem 127MB
+            # regresses slightly)
+            dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(dv, cv, zv, *types, *[w[k] for k in w_order])
