@@ -122,10 +122,14 @@ def main(argv=None):
         sc_cutoff = config.dataset.get("cutoff", 10.0)
         n_sub = config.dataset.get("subgraphs_per_protein", 50)
 
+        # corpora loaded ONCE; only the subgraph draw is repeated per epoch
+        _corpus_cache = {}
+
         def draw_subgraphs(path, seed, fix):
-            graphs, _ = load_dataset(path)
+            if path not in _corpus_cache:
+                _corpus_cache[path] = load_dataset(path)[0]
             ds = SidechainConformationDataset(
-                graphs, cutoff=sc_cutoff, fix_subgraph=fix, seed=seed
+                _corpus_cache[path], cutoff=sc_cutoff, fix_subgraph=fix, seed=seed
             )
             out = []
             for i in range(len(ds)):
@@ -159,6 +163,11 @@ def main(argv=None):
             train_set, config.train.batch_size, shuffle=True,
             bucket_sizes=bucket_sizes, seed=config.train.seed,
         ))
+    if len(val_set) == 0:
+        raise SystemExit(
+            f"validation set is empty ({config.dataset.val}); training needs "
+            "at least one validation graph"
+        )
     val_loader = PaddedBatchLoader(
         val_set, config.train.batch_size, shuffle=False, bucket_sizes=bucket_sizes
     )
@@ -202,7 +211,13 @@ def main(argv=None):
     scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
 
     # val loader probe: same feature dims, and doesn't consume the train stream
-    probe = next(iter(val_loader))
+    try:
+        probe = next(iter(val_loader))
+    except StopIteration:
+        raise SystemExit(
+            f"validation set is empty ({config.dataset.val}); training needs "
+            "at least one validation graph"
+        )
     params = init_model_params(model, jax.random.key(config.train.seed), probe)
     state = init_train_state(model, tx, params, ema_decay=ema_decay)
     start_iter = 1

@@ -27,7 +27,7 @@ from tsdiff_tpu.diffusion.dual_objective import (
     dual_dynamic_sampling,
     make_dual_eps_fn,
 )
-from tsdiff_tpu.diffusion.sampler import SamplingSettings, final_frame_scale
+from tsdiff_tpu.diffusion.sampler import SamplingSettings
 
 
 def covering_batches(graph: dict, cutoff: float, batch_size: int, seed: int):
@@ -76,8 +76,11 @@ def sample_protein_sidechains(
     dualenc.py:1102-1203 semantics); ``diffusion`` runs the reverse
     diffusion over ``n_steps`` of the schedule counted back from t=T
     (default: the FULL schedule — a partial count would only walk the
-    highest-noise steps and never denoise) and rescales the sampled
-    sidechains by ``final_frame_scale`` (identity for the full schedule).
+    highest-noise steps and never denoise).  No frame rescale is applied in
+    either mode: the per-step backbone pin re-anchors the whole system to
+    the physical frame, so — unlike the unpinned molecular sampler
+    (cli/sampling.py final_frame_scale) — the scan output IS physical, and
+    scaling only the free atoms would tear sidechains off the backbone.
 
     Returns ``(pos (n, 3), counts (n,), nan_flag)``: ``pos`` equals the
     input backbone exactly; each residue's sidechain comes from the one
@@ -101,6 +104,15 @@ def sample_protein_sidechains(
     # per-residue owner: nearest covering-ball center to the residue's CA
     n_res = int(atom2res.max()) + 1
     owner_dist = np.full(n_res, np.inf)
+    # per-residue anchor: the CA position (atom2alpha_index from
+    # pdb_to_graph), residue centroid when a residue has no CA
+    res_anchor = np.zeros((n_res, 3), np.float32)
+    a2a = np.asarray(graph.get("atom2alpha_index", -np.ones(n, np.int64)))
+    for r in range(n_res):
+        in_r = atom2res == r
+        ca = a2a[in_r]
+        ca = ca[ca >= 0]
+        res_anchor[r] = pos_in[ca[0]] if len(ca) else pos_in[in_r].mean(0)
     any_nan = False
 
     for chunk, batch in covering_batches(graph, cutoff, batch_size, seed):
@@ -117,7 +129,6 @@ def sample_protein_sidechains(
                 global_start_sigma=global_start_sigma,
                 is_sidechain=sc, pos_gt=batch.pos,
             )
-            scale = 1.0
         else:
             settings = SamplingSettings(
                 sampling_type="ld", n_steps=n_steps, step_lr=step_lr
@@ -127,34 +138,26 @@ def sample_protein_sidechains(
                 global_start_sigma=global_start_sigma,
                 is_sidechain=sc, pos_gt=batch.pos,
             )
-            # scaled -> physical frame for the sampled (sidechain) atoms;
-            # the pinned backbone is already physical (see cli/sampling.py
-            # final_frame_scale use; ~1 for the full schedule)
-            scale = final_frame_scale(schedule, settings)
         any_nan |= bool(nan)
         pos = np.asarray(pos)
         for b, s in enumerate(chunk):
             m = len(s["atom_type"])
             scm = np.asarray(s["is_sidechain"], bool)
             idx = s["mapping"][scm]
-            counts[idx] += 1
             if nan and not np.isfinite(pos[b, :m][scm]).all():
-                continue  # keep prior/input coords over NaN predictions
+                continue  # keep prior coords; do NOT count NaN'd predictions
+            counts[idx] += 1
             # residues whose CA is closer to this subgraph's center than to
             # any previous owner take their whole sidechain from this sample
             center = s["center"]
             res_here = np.unique(atom2res[idx])
-            d_center = np.full(n_res, np.inf)
-            for r in res_here:
-                ca = np.nonzero((atom2res == r) & np.asarray(graph["is_alpha"], bool))[0]
-                anchor = pos_in[ca[0]] if len(ca) else pos_in[atom2res == r].mean(0)
-                d_center[r] = np.linalg.norm(anchor - pos_in[center])
-            take_res = {int(r) for r in res_here if d_center[r] < owner_dist[r]}
+            d_center = np.linalg.norm(res_anchor[res_here] - pos_in[center], axis=-1)
+            better = d_center < owner_dist[res_here]
+            take_res = set(res_here[better].tolist())
             if not take_res:
                 continue
             take = np.asarray([int(atom2res[i]) in take_res for i in idx])
-            pos_out[idx[take]] = (pos[b, :m][scm][take] * scale).astype(np.float32)
-            for r in take_res:
-                owner_dist[r] = d_center[r]
+            pos_out[idx[take]] = pos[b, :m][scm][take].astype(np.float32)
+            owner_dist[res_here[better]] = d_center[better]
 
     return pos_out, counts, any_nan

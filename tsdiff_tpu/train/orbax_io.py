@@ -20,8 +20,10 @@ import json
 import os
 from typing import Any
 
-import jax
-import numpy as np
+import jax  # noqa: F401 (tree ops via trainer helper)
+import numpy as np  # noqa: F401
+
+from tsdiff_tpu.train.trainer import _to_numpy
 
 _FORMAT = "tsdiff_tpu.ckpt.orbax.v1"
 _async_checkpointer = None
@@ -34,10 +36,6 @@ def _checkpointer():
 
         _async_checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     return _async_checkpointer
-
-
-def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
 def save_checkpoint_orbax(
@@ -86,10 +84,6 @@ def wait_for_saves() -> None:
     """Barrier on all outstanding async checkpoint writes."""
     if _async_checkpointer is not None:
         _async_checkpointer.wait_until_finished()
-
-
-def is_orbax_checkpoint(path: str) -> bool:
-    return os.path.isdir(path) and os.path.isfile(path + ".meta.json")
 
 
 def load_checkpoint_orbax(path: str) -> dict[str, Any]:
