@@ -552,3 +552,26 @@ def test_radius_restriction_in_model():
     assert (removed <= (bb_pair & ~typed)).all()
     # typed (order-extended) edges always survive
     assert (typed <= mg_sc).all()
+
+
+def test_evaluate_cli_protein_mode(tmp_path, capsys):
+    import pickle
+    from tsdiff_tpu.cli import evaluate
+
+    res = [
+        dict(name="a", pos_gen=np.ones((6, 3), np.float32) * 2,
+             pos_gt=np.ones((6, 3), np.float32),
+             is_sidechain=np.array([0, 0, 1, 1, 0, 1], bool),
+             coverage_counts=np.array([0, 0, 1, 1, 0, 0]), nan=False),
+        dict(name="b", pos_gen=np.zeros((4, 3), np.float32),
+             pos_gt=np.zeros((4, 3), np.float32),
+             is_sidechain=np.array([0, 1, 0, 0], bool),
+             coverage_counts=np.zeros(4, int), nan=True),
+    ]
+    p = tmp_path / "proteins_gen.pkl"
+    p.write_bytes(pickle.dumps(res))
+    stats = evaluate.main(["--samples", str(p), "--protein"])
+    # protein a: covered sidechain atoms 2,3 displaced by (1,1,1) -> sqrt(3)
+    np.testing.assert_allclose(stats["sidechain_rmsd"], [np.sqrt(3.0)], rtol=1e-6)
+    out = capsys.readouterr().out
+    assert "1 proteins evaluated" in out and "1 with no covered" in out

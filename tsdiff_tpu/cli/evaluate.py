@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--no-automorphisms", action="store_true")
     parser.add_argument("--covmat", action="store_true",
                         help="run the COV/MAT conformer-ensemble evaluator")
+    parser.add_argument("--protein", action="store_true",
+                        help="samples are protein_sampling results: report "
+                             "sidechain-RMSD statistics instead of D-MAE")
     parser.add_argument("--out", type=str, default=None, help="write stats pickle here")
     args = parser.parse_args(argv)
 
@@ -33,6 +36,9 @@ def main(argv=None):
 
     with open(args.samples, "rb") as f:
         samples = pickle.load(f)
+
+    if args.protein:
+        return _protein_stats(samples, args)
 
     dmaes = []
     skipped = 0
@@ -68,6 +74,31 @@ def main(argv=None):
         else:
             print("no multi-conformer samples with pos_ref; skipping COV/MAT")
 
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(stats, f)
+    return stats
+
+
+def _protein_stats(samples, args):
+    """Sidechain-RMSD summary over a protein_sampling results pickle."""
+    rmsds, uncovered, nans = [], 0, 0
+    for r in samples:
+        sc = np.asarray(r["is_sidechain"], bool)
+        cov = np.asarray(r["coverage_counts"])[sc] > 0
+        if not cov.any():
+            uncovered += 1
+            continue
+        d = np.asarray(r["pos_gen"])[sc][cov] - np.asarray(r["pos_gt"])[sc][cov]
+        rmsds.append(float(np.sqrt((d ** 2).sum(-1).mean())))
+        nans += bool(r.get("nan"))
+    rmsds = np.asarray(rmsds)
+    print(f"{len(rmsds)} proteins evaluated ({uncovered} with no covered "
+          f"sidechains, {nans} NaN-flagged)")
+    if len(rmsds):
+        print(f"sidechain RMSD  mean {rmsds.mean():.4f} | median "
+              f"{np.median(rmsds):.4f} | std {rmsds.std():.4f}")
+    stats = {"sidechain_rmsd": rmsds, "nan_flagged": nans}
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(stats, f)
