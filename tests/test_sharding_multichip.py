@@ -146,3 +146,32 @@ def test_production_structure_multichip():
         )
     )(stacked_sh, jax.random.key(2))
     assert np.isfinite(np.asarray(res.pos)).all()
+
+
+def test_protein_sampling_sharded_matches_unsharded():
+    """Covering-subgraph protein sampling under a dp mesh == single device."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pdb import _protein_chain, CFG_DSM
+
+    from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.data.pdb import pdb_to_graph
+    from tsdiff_tpu.diffusion.protein import sample_protein_sidechains
+
+    g = pdb_to_graph(_protein_chain(12, seed=2))
+    model = get_model(CFG_DSM)
+    b0 = from_numpy_graphs([g], max_nodes=72)
+    params = model.init(
+        jax.random.key(0), b0.atom_type, b0.pos, b0.bond_mat, b0.node_mask,
+        time_step=jnp.zeros((1,), jnp.int32),
+    )
+    kw = dict(cutoff=6.0, batch_size=4, n_steps=3, step_lr=1e-6, seed=0)
+    ref, counts_ref, _ = sample_protein_sidechains(
+        model, params, g, jax.random.key(1), **kw
+    )
+    mesh = make_mesh(dp=4, ens=1)
+    out, counts, _ = sample_protein_sidechains(
+        model, params, g, jax.random.key(1), mesh=mesh, **kw
+    )
+    np.testing.assert_array_equal(counts, counts_ref)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

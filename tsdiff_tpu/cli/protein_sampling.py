@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--clip", type=float, default=1000.0)
     parser.add_argument("--seed", type=int, default=2022)
     parser.add_argument("--use_ema", action="store_true", default=False)
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="'auto' shards subgraph batches over all local "
+                             "devices dividing --batch_size; 'none' disables; "
+                             "or an explicit dp count")
     parser.add_argument("--write_pdb", action="store_true", default=False,
                         help="also write <save_dir>/<name>_gen.pdb per protein")
     args = parser.parse_args(argv)
@@ -74,6 +78,19 @@ def main(argv=None):
     )
     seed_all(args.seed)
 
+    mesh = None
+    if args.mesh != "none":
+        from tsdiff_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        dp = (
+            max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+            if args.mesh == "auto" else int(args.mesh)
+        )
+        if dp > 1:
+            mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
+            logger.info(f"subgraph batches sharded over dp={dp} devices")
+
     graphs, _ = load_dataset(args.protein_set)
     graphs = graphs[args.start_idx : args.end_idx]
     logger.info(f"{len(graphs)} proteins selected")
@@ -88,6 +105,7 @@ def main(argv=None):
             n_steps=args.n_steps, step_lr=args.step_lr,
             global_start_sigma=args.global_start_sigma,
             w_global=args.w_global, clip=args.clip, seed=args.seed + i,
+            mesh=mesh,
         )
         if nan:
             # same policy as cli/sampling.py: one retry at clip 20
@@ -99,6 +117,7 @@ def main(argv=None):
                 n_steps=args.n_steps, step_lr=args.step_lr,
                 global_start_sigma=args.global_start_sigma,
                 w_global=args.w_global, clip=20.0, seed=args.seed + i + 7919,
+                mesh=mesh,
             )
         sc = np.asarray(g["is_sidechain"], bool)
         d = np.linalg.norm(pos_gen[sc] - np.asarray(g["pos"])[sc], axis=-1)

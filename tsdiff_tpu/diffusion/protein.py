@@ -30,7 +30,10 @@ from tsdiff_tpu.diffusion.dual_objective import (
 from tsdiff_tpu.diffusion.sampler import SamplingSettings
 
 
-def covering_batches(graph: dict, cutoff: float, batch_size: int, seed: int):
+def covering_batches(
+    graph: dict, cutoff: float, batch_size: int, seed: int,
+    pad_batches: bool = False,
+):
     """Yield ``(chunk, batch)`` padded-batch groups of covering subgraphs.
 
     Shared scaffold for subgraph-ensemble scoring
@@ -40,6 +43,11 @@ def covering_batches(graph: dict, cutoff: float, batch_size: int, seed: int):
     (core/graph.from_numpy_graphs packs it); each subgraph dict carries
     ``mapping`` (original atom indices) and ``center`` (covering-ball
     center atom).
+
+    ``pad_batches`` pads the tail chunk with empty graphs to a constant
+    ``batch_size`` (mesh sharding needs a divisible leading axis; also
+    avoids a tail-shape recompile).  ``chunk`` always lists only the REAL
+    subgraphs.
     """
     from tsdiff_tpu.core.graph import from_numpy_graphs
     from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs
@@ -49,9 +57,24 @@ def covering_batches(graph: dict, cutoff: float, batch_size: int, seed: int):
     if not subs:
         return
     n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
+
+    def empty():
+        return dict(
+            atom_type=np.zeros((0,), np.int32),
+            r_feat=np.zeros((0, 0), np.float32),
+            p_feat=np.zeros((0, 0), np.float32),
+            pos=np.zeros((0, 3), np.float32),
+            edge_index=np.zeros((2, 0), np.int32),
+            edge_type=np.zeros((0,), np.int32),
+            is_sidechain=np.zeros((0,), bool),
+        )
+
     for start in range(0, len(subs), batch_size):
         chunk = subs[start : start + batch_size]
-        yield chunk, from_numpy_graphs(chunk, max_nodes=n_pad)
+        graphs = list(chunk)
+        if pad_batches:
+            graphs += [empty() for _ in range(batch_size - len(chunk))]
+        yield chunk, from_numpy_graphs(graphs, max_nodes=n_pad)
 
 
 def sample_protein_sidechains(
@@ -68,8 +91,13 @@ def sample_protein_sidechains(
     w_global: float = 0.2,
     clip: float = 1000.0,
     seed: int = 0,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Regenerate all sidechains of one protein from noise.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis — covering
+    subgraph batches shard over devices (params replicated), the protein
+    analog of the molecular sampling CLI's ``--mesh``.
 
     Dispatches on ``model.model_type``: ``dsm`` runs the annealed-Langevin
     ladder with ``n_steps`` PER sigma level (default 100; reference
@@ -115,7 +143,16 @@ def sample_protein_sidechains(
         res_anchor[r] = pos_in[ca[0]] if len(ca) else pos_in[in_r].mean(0)
     any_nan = False
 
-    for chunk, batch in covering_batches(graph, cutoff, batch_size, seed):
+    if mesh is not None:
+        from tsdiff_tpu.parallel import replicate, shard_batch
+
+        params = replicate(params, mesh)
+
+    for chunk, batch in covering_batches(
+        graph, cutoff, batch_size, seed, pad_batches=mesh is not None
+    ):
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         sc = batch.is_sidechain
         eps_fn = make_dual_eps_fn(
             model, params, batch, w_global=w_global, clip=clip, is_sidechain=sc
