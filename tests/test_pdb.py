@@ -573,5 +573,9 @@ def test_evaluate_cli_protein_mode(tmp_path, capsys):
     stats = evaluate.main(["--samples", str(p), "--protein"])
     # protein a: covered sidechain atoms 2,3 displaced by (1,1,1) -> sqrt(3)
     np.testing.assert_allclose(stats["sidechain_rmsd"], [np.sqrt(3.0)], rtol=1e-6)
+    # protein b is fully diverged (uncovered + nan): its NaN flag must still
+    # be counted even though it is skipped for RMSD
+    assert stats["nan_flagged"] == 1
     out = capsys.readouterr().out
     assert "1 proteins evaluated" in out and "1 with no covered" in out
+    assert "1 NaN-flagged" in out

@@ -4,8 +4,9 @@ pinned.  Runs on the real TPU (or CPU with JAX_PLATFORMS=cpu).
 
 Usage: python tools/protein_demo.py
 """
-import sys, time
-sys.path[:0] = ["/root/repo", "/root/repo/tests"]
+import os, sys, time
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path[:0] = [_ROOT, os.path.join(_ROOT, "tests")]
 import numpy as np, jax, jax.numpy as jnp
 from test_pdb import _protein_chain, CFG_DSM
 from tsdiff_tpu.core.graph import from_numpy_graphs

@@ -74,16 +74,21 @@ def main(argv=None):
         else:
             print("no multi-conformer samples with pos_ref; skipping COV/MAT")
 
+    _write_stats(stats, args)
+    return stats
+
+
+def _write_stats(stats, args):
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(stats, f)
-    return stats
 
 
 def _protein_stats(samples, args):
     """Sidechain-RMSD summary over a protein_sampling results pickle."""
     rmsds, uncovered, nans = [], 0, 0
     for r in samples:
+        nans += bool(r.get("nan"))
         sc = np.asarray(r["is_sidechain"], bool)
         cov = np.asarray(r["coverage_counts"])[sc] > 0
         if not cov.any():
@@ -91,7 +96,6 @@ def _protein_stats(samples, args):
             continue
         d = np.asarray(r["pos_gen"])[sc][cov] - np.asarray(r["pos_gt"])[sc][cov]
         rmsds.append(float(np.sqrt((d ** 2).sum(-1).mean())))
-        nans += bool(r.get("nan"))
     rmsds = np.asarray(rmsds)
     print(f"{len(rmsds)} proteins evaluated ({uncovered} with no covered "
           f"sidechains, {nans} NaN-flagged)")
@@ -99,9 +103,7 @@ def _protein_stats(samples, args):
         print(f"sidechain RMSD  mean {rmsds.mean():.4f} | median "
               f"{np.median(rmsds):.4f} | std {rmsds.std():.4f}")
     stats = {"sidechain_rmsd": rmsds, "nan_flagged": nans}
-    if args.out:
-        with open(args.out, "wb") as f:
-            pickle.dump(stats, f)
+    _write_stats(stats, args)
     return stats
 
 

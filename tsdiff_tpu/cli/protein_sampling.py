@@ -83,13 +83,27 @@ def main(argv=None):
         from tsdiff_tpu.parallel import make_mesh
 
         n_dev = len(jax.devices())
-        dp = (
-            max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
-            if args.mesh == "auto" else int(args.mesh)
-        )
+        if args.mesh == "auto":
+            dp = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+        else:
+            try:
+                dp = int(args.mesh)
+            except ValueError:
+                raise SystemExit(f"--mesh must be 'auto', 'none' or an integer, got {args.mesh!r}")
+            if dp < 1 or dp > n_dev:
+                raise SystemExit(f"--mesh {dp} outside 1..{n_dev} available devices")
+            if args.batch_size % dp != 0:
+                raise SystemExit(
+                    f"--batch_size {args.batch_size} not divisible by --mesh {dp}"
+                )
         if dp > 1:
             mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
             logger.info(f"subgraph batches sharded over dp={dp} devices")
+            # replicate ONCE; the per-protein replicate inside the sampler
+            # then sees device-resident arrays (no re-transfer)
+            from tsdiff_tpu.parallel import replicate
+
+            params = replicate(params, mesh)
 
     graphs, _ = load_dataset(args.protein_set)
     graphs = graphs[args.start_idx : args.end_idx]

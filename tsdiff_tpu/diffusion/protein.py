@@ -50,6 +50,7 @@ def covering_batches(
     subgraphs.
     """
     from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.data.dataset import _empty_graph
     from tsdiff_tpu.data.pdb import cover_protein_with_subgraphs
 
     rng = np.random.default_rng(seed)
@@ -57,23 +58,15 @@ def covering_batches(
     if not subs:
         return
     n_pad = 8 * ((max(len(s["atom_type"]) for s in subs) + 7) // 8)
-
-    def empty():
-        return dict(
-            atom_type=np.zeros((0,), np.int32),
-            r_feat=np.zeros((0, 0), np.float32),
-            p_feat=np.zeros((0, 0), np.float32),
-            pos=np.zeros((0, 3), np.float32),
-            edge_index=np.zeros((2, 0), np.int32),
-            edge_type=np.zeros((0,), np.int32),
-            is_sidechain=np.zeros((0,), bool),
-        )
+    feat_dim = int(subs[0]["r_feat"].shape[-1])
 
     for start in range(0, len(subs), batch_size):
         chunk = subs[start : start + batch_size]
         graphs = list(chunk)
         if pad_batches:
-            graphs += [empty() for _ in range(batch_size - len(chunk))]
+            graphs += [
+                _empty_graph(feat_dim) for _ in range(batch_size - len(chunk))
+            ]
         yield chunk, from_numpy_graphs(graphs, max_nodes=n_pad)
 
 
