@@ -1,0 +1,309 @@
+"""Batching inference service for TS generation (serving story).
+
+The reference has no serving path (one-shot CLI scripts only); production
+deployment wants a resident process that keeps the compiled sampler warm and
+amortizes requests into fixed-shape batches.  This module provides:
+
+  * :class:`SamplerService` — a thread-safe request batcher around the
+    ensemble sampler: requests queue up, a worker groups them by size
+    bucket, pads each group to a CONSTANT ``max_batch`` (one XLA compilation
+    per bucket, ever), runs the jitted reverse diffusion, and resolves
+    per-request futures.
+  * ``python -m tsdiff_tpu.serve CKPT... --port 8000`` — a minimal stdlib
+    HTTP front end: ``POST /generate`` with JSON graphs returns generated
+    coordinates; ``GET /healthz`` liveness.
+
+Graphs use the standard dict layout (data/dataset.py): ``atom_type (n,)``,
+``r_feat``/``p_feat`` ``(n, F)``, ``edge_index (2, E)`` + ``edge_type (E,)``
+(or dense ``bond_mat``), all JSON arrays over HTTP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+
+
+@dataclasses.dataclass
+class _Request:
+    graph: dict
+    future: Future
+    n_atoms: int
+
+
+class SamplerService:
+    """Resident ensemble sampler with request batching.
+
+    One worker thread owns the device; ``submit`` is thread-safe and returns
+    a ``concurrent.futures.Future`` resolving to
+    ``{"pos_gen": (n, 3) float32, "nan": bool}``.
+    """
+
+    def __init__(
+        self,
+        ckpt_paths: list[str],
+        n_steps: int = 5000,
+        sampling_type: str = "ld",
+        step_lr: float = 1e-7,
+        clip: float = 1000.0,
+        dtype: str = "bfloat16",
+        fused_score: bool = False,
+        use_ema: bool = False,
+        max_batch: int = 32,
+        max_wait_s: float = 0.05,
+        seed: int = 2022,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from tsdiff_tpu.config import Config
+        from tsdiff_tpu.diffusion.ensemble import stack_params
+        from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+        from tsdiff_tpu.models import get_model
+        from tsdiff_tpu.train import load_checkpoint
+
+        cks = [load_checkpoint(p) for p in ckpt_paths]
+        model_cfg = Config(cks[0]["config"]).model
+        if fused_score:
+            model_cfg.fused_score = True
+        self.model = get_model(
+            model_cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else None
+        )
+        self.schedule = DiffusionSchedule.from_config(model_cfg)
+
+        def pick(ck):
+            if use_ema and ck.get("ema_params") is not None:
+                return ck["ema_params"]
+            return ck["params"]
+
+        self.stacked = stack_params(
+            [jax.tree_util.tree_map(jnp.asarray, pick(ck)) for ck in cks]
+        )
+        self.n_steps = n_steps
+        self.sampling_type = sampling_type
+        self.step_lr = step_lr
+        self.clip = clip
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.seed = seed
+        self._runners: dict[int, object] = {}  # bucket -> jitted fn
+        self._q: queue.Queue[_Request | None] = queue.Queue()
+        self._served = 0
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(self, graph: dict) -> Future:
+        import numpy as np
+
+        assert not self._closed, "service closed"
+        fut: Future = Future()
+        n = int(np.asarray(graph["atom_type"]).shape[0])
+        self._q.put(_Request(graph=graph, future=fut, n_atoms=n))
+        return fut
+
+    def generate(self, graphs: list[dict]) -> list[dict]:
+        """Blocking convenience: submit all, wait for all."""
+        futs = [self.submit(g) for g in graphs]
+        return [f.result() for f in futs]
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=60)
+
+    # -- worker -------------------------------------------------------------
+
+    def _collect(self) -> list[_Request] | None:
+        """One blocking item, then drain up to max_batch within the window."""
+        first = self._q.get()
+        if first is None:
+            return None
+        reqs = [first]
+        deadline = threading.Event()
+        try:
+            while len(reqs) < self.max_batch:
+                item = self._q.get(timeout=self.max_wait_s)
+                if item is None:
+                    self._q.put(None)  # re-queue shutdown for the main loop
+                    break
+                reqs.append(item)
+        except queue.Empty:
+            pass
+        del deadline
+        return reqs
+
+    def _loop(self):
+        import numpy as np
+
+        from tsdiff_tpu.data.dataset import default_buckets, pick_bucket
+
+        while True:
+            reqs = self._collect()
+            if reqs is None:
+                return
+            groups: dict[int, list[_Request]] = {}
+            buckets = default_buckets(max(r.n_atoms for r in reqs))
+            for r in reqs:
+                groups.setdefault(pick_bucket(r.n_atoms, buckets), []).append(r)
+            for bucket, group in sorted(groups.items()):
+                try:
+                    self._run_group(bucket, group)
+                except Exception as e:  # noqa: BLE001 - propagate to callers
+                    for r in group:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _run_group(self, bucket: int, group: list[_Request]):
+        import jax
+        import numpy as np
+
+        from tsdiff_tpu.core.graph import from_numpy_graphs
+
+        # constant (max_batch, bucket) shape: pad with copies of the last
+        # graph so each bucket compiles exactly once for the service lifetime
+        graphs = [r.graph for r in group]
+        gpad = graphs + [graphs[-1]] * (self.max_batch - len(graphs))
+        batch = from_numpy_graphs(gpad, max_nodes=bucket)
+        key = jax.random.key(self.seed * 7919 + self._served)
+        pos_init = jax.random.normal(
+            jax.random.fold_in(key, 1), (self.max_batch, bucket, 3)
+        )
+        runner = self._runners.get(bucket)
+        if runner is None:
+            runner = self._make_runner()
+            self._runners[bucket] = runner
+        res = runner(self.stacked, batch, pos_init, jax.random.fold_in(key, 2))
+        pos = np.asarray(res.pos)
+        nan = bool(np.asarray(res.nan_detected)) if res.nan_detected is not None else False
+        self._served += len(group)
+        for b, r in enumerate(group):
+            r.future.set_result(
+                {"pos_gen": pos[b, : r.n_atoms].astype(np.float32), "nan": nan}
+            )
+
+    def _make_runner(self):
+        import jax
+
+        from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn
+        from tsdiff_tpu.diffusion.sampler import (
+            SamplingSettings,
+            dynamic_sampling,
+            final_frame_scale,
+        )
+
+        settings = SamplingSettings(
+            sampling_type=self.sampling_type,
+            n_steps=self.n_steps,
+            step_lr=self.step_lr,
+            clip=self.clip,
+        )
+        scale = final_frame_scale(self.schedule, settings)
+
+        @jax.jit
+        def run(stacked, batch, pos_init, key):
+            res = dynamic_sampling(
+                make_ensemble_score_fn(self.model, stacked, batch),
+                self.schedule, pos_init, batch.node_mask, key, settings,
+            )
+            return res._replace(pos=res.pos * scale)
+
+        return run
+
+
+# -- HTTP front end ---------------------------------------------------------
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    import numpy as np
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("ckpt", type=str, nargs="+")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--n_steps", type=int, default=5000)
+    parser.add_argument("--sampling_type", type=str, default="ld")
+    parser.add_argument("--step_lr", type=float, default=1e-7)
+    parser.add_argument("--clip", type=float, default=1000.0)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--fused_score", action="store_true", default=False)
+    parser.add_argument("--use_ema", action="store_true", default=False)
+    parser.add_argument("--max_batch", type=int, default=32)
+    parser.add_argument("--max_wait_ms", type=float, default=50.0)
+    args = parser.parse_args(argv)
+
+    service = SamplerService(
+        args.ckpt, n_steps=args.n_steps, sampling_type=args.sampling_type,
+        step_lr=args.step_lr, clip=args.clip, dtype=args.dtype,
+        fused_score=args.fused_score, use_ema=args.use_ema,
+        max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,
+    )
+
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def graph_from_json(d: dict) -> dict:
+        g = {
+            "atom_type": np.asarray(d["atom_type"], np.int32),
+            "r_feat": np.asarray(d["r_feat"], np.float32),
+            "p_feat": np.asarray(d["p_feat"], np.float32),
+            "pos": np.asarray(d["pos"], np.float32) if d.get("pos") is not None else None,
+        }
+        if "bond_mat" in d:
+            g["bond_mat"] = np.asarray(d["bond_mat"], np.int32)
+        else:
+            g["edge_index"] = np.asarray(d["edge_index"], np.int32)
+            g["edge_type"] = np.asarray(d["edge_type"], np.int32)
+        return g
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "served": service._served})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                graphs = [graph_from_json(d) for d in req["graphs"]]
+                results = service.generate(graphs)
+                self._json(200, {
+                    "pos_gen": [r["pos_gen"].tolist() for r in results],
+                    "nan": [r["nan"] for r in results],
+                })
+            except Exception as e:  # noqa: BLE001 - report to client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"tsdiff_tpu sampler serving on http://{args.host}:{args.port} "
+          f"(POST /generate, GET /healthz)")
+    try:
+        httpd.serve_forever()
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
