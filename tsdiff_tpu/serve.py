@@ -178,15 +178,23 @@ class SamplerService:
             runner = self._make_runner()
             self._runners[bucket] = runner
         res = runner(self.stacked, batch, pos_init, jax.random.fold_in(key, 2))
-        pos = np.asarray(res.pos)
         nan = bool(np.asarray(res.nan_detected)) if res.nan_detected is not None else False
+        if nan and self.clip > 20.0:
+            # same policy as the sampling CLI: one retry at clip 20
+            retry = self._runners.get((bucket, "retry"))
+            if retry is None:
+                retry = self._make_runner(clip=20.0)
+                self._runners[(bucket, "retry")] = retry
+            res = retry(self.stacked, batch, pos_init, jax.random.fold_in(key, 3))
+            nan = bool(np.asarray(res.nan_detected))
+        pos = np.asarray(res.pos)
         self._served += len(group)
         for b, r in enumerate(group):
             r.future.set_result(
                 {"pos_gen": pos[b, : r.n_atoms].astype(np.float32), "nan": nan}
             )
 
-    def _make_runner(self):
+    def _make_runner(self, clip: float | None = None):
         import jax
 
         from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn
@@ -200,7 +208,7 @@ class SamplerService:
             sampling_type=self.sampling_type,
             n_steps=self.n_steps,
             step_lr=self.step_lr,
-            clip=self.clip,
+            clip=self.clip if clip is None else clip,
         )
         scale = final_frame_scale(self.schedule, settings)
 
