@@ -158,20 +158,30 @@ class SamplerService:
                         if not r.future.done():
                             r.future.set_exception(e)
 
+    def _batch_tier(self, n: int) -> int:
+        """Smallest tier (max_batch, max_batch/2, /4, ... >= 4) holding n
+        requests.  A handful of compiled shapes per bucket instead of one,
+        but a group of 20 no longer pays for a batch of ``max_batch``."""
+        tier = self.max_batch
+        while tier // 2 >= max(n, 4):
+            tier //= 2
+        return tier
+
     def _run_group(self, bucket: int, group: list[_Request]):
         import jax
         import numpy as np
 
         from tsdiff_tpu.core.graph import from_numpy_graphs
 
-        # constant (max_batch, bucket) shape: pad with copies of the last
-        # graph so each bucket compiles exactly once for the service lifetime
+        # fixed (tier, bucket) shape: pad with copies of the last graph so
+        # each (bucket, tier) pair compiles exactly once per service lifetime
         graphs = [r.graph for r in group]
-        gpad = graphs + [graphs[-1]] * (self.max_batch - len(graphs))
+        tier = self._batch_tier(len(graphs))
+        gpad = graphs + [graphs[-1]] * (tier - len(graphs))
         batch = from_numpy_graphs(gpad, max_nodes=bucket)
         key = jax.random.key(self.seed * 7919 + self._served)
         pos_init = jax.random.normal(
-            jax.random.fold_in(key, 1), (self.max_batch, bucket, 3)
+            jax.random.fold_in(key, 1), (tier, bucket, 3)
         )
         runner = self._runners.get(bucket)
         if runner is None:
