@@ -123,3 +123,26 @@ def test_http_front_end(tiny_ckpt):
         assert e.code == 400
         assert "error" in json.load(e)
     assert wait_healthy()["served"] >= 1
+
+
+def test_service_sharded_matches_unsharded(tiny_ckpt):
+    """Mesh-backed service returns the same samples as single-device."""
+    from tsdiff_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    graphs = make_graph_dicts(rng, [5, 7, 6, 8], feat_dim=FEAT)
+
+    def run(mesh):
+        svc = SamplerService(
+            [tiny_ckpt, tiny_ckpt], n_steps=4, dtype="float32",
+            max_batch=4, max_wait_s=0.2, mesh=mesh,
+        )
+        try:
+            return svc.generate(graphs)
+        finally:
+            svc.close()
+
+    ref = run(None)
+    out = run(make_mesh(dp=4, ens=2))
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(b["pos_gen"], a["pos_gen"], rtol=1e-4, atol=1e-5)

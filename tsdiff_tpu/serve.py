@@ -6,9 +6,9 @@ amortizes requests into fixed-shape batches.  This module provides:
 
   * :class:`SamplerService` — a thread-safe request batcher around the
     ensemble sampler: requests queue up, a worker groups them by size
-    bucket, pads each group to a CONSTANT ``max_batch`` (one XLA compilation
-    per bucket, ever), runs the jitted reverse diffusion, and resolves
-    per-request futures.
+    bucket, pads each group to a fixed tier shape (max_batch, /2, /4, ... —
+    one XLA compilation per (bucket, tier), ever), runs the jitted reverse
+    diffusion, and resolves per-request futures.
   * ``python -m tsdiff_tpu.serve CKPT... --port 8000`` — a minimal stdlib
     HTTP front end: ``POST /generate`` with JSON graphs returns generated
     coordinates; ``GET /healthz`` liveness.
@@ -54,7 +54,11 @@ class SamplerService:
         max_batch: int = 32,
         max_wait_s: float = 0.05,
         seed: int = 2022,
+        mesh=None,
     ):
+        """``mesh``: optional Mesh with a ``dp`` axis — bucket batches shard
+        over devices, stacked ensemble params shard over ``ens`` when the
+        axis is present (sizes must divide max_batch and the tier ladder)."""
         import jax
         import jax.numpy as jnp
 
@@ -81,6 +85,21 @@ class SamplerService:
         self.stacked = stack_params(
             [jax.tree_util.tree_map(jnp.asarray, pick(ck)) for ck in cks]
         )
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            from tsdiff_tpu.parallel import shard_ensemble_params
+
+            self._dp = dict(mesh.shape).get("dp", 1)
+            ens_ax = dict(mesh.shape).get("ens", 1)
+            if ens_ax > 1:
+                assert len(cks) % ens_ax == 0, (
+                    f"{len(cks)} ensemble members not divisible by ens={ens_ax}"
+                )
+                self.stacked = shard_ensemble_params(self.stacked, mesh)
+            assert max_batch % self._dp == 0, (
+                f"max_batch {max_batch} not divisible by dp={self._dp}"
+            )
         self.n_steps = n_steps
         self.sampling_type = sampling_type
         self.step_lr = step_lr
@@ -163,7 +182,7 @@ class SamplerService:
         requests.  A handful of compiled shapes per bucket instead of one,
         but a group of 20 no longer pays for a batch of ``max_batch``."""
         tier = self.max_batch
-        while tier // 2 >= max(n, 4):
+        while tier // 2 >= max(n, 4, self._dp):
             tier //= 2
         return tier
 
@@ -183,6 +202,15 @@ class SamplerService:
         pos_init = jax.random.normal(
             jax.random.fold_in(key, 1), (tier, bucket, 3)
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tsdiff_tpu.parallel import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+            pos_init = jax.device_put(
+                pos_init, NamedSharding(self.mesh, P("dp"))
+            )
         runner = self._runners.get(bucket)
         if runner is None:
             runner = self._make_runner()
@@ -255,13 +283,23 @@ def main(argv=None):
     parser.add_argument("--use_ema", action="store_true", default=False)
     parser.add_argument("--max_batch", type=int, default=32)
     parser.add_argument("--max_wait_ms", type=float, default=50.0)
+    parser.add_argument("--mesh", type=str, default="none",
+                        help="DP,ENS device mesh (e.g. '4,2') or 'none'")
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.mesh != "none":
+        from tsdiff_tpu.parallel import make_mesh
+
+        dp, _, ens = args.mesh.partition(",")
+        mesh = make_mesh(dp=int(dp), ens=int(ens) if ens else 1)
 
     service = SamplerService(
         args.ckpt, n_steps=args.n_steps, sampling_type=args.sampling_type,
         step_lr=args.step_lr, clip=args.clip, dtype=args.dtype,
         fused_score=args.fused_score, use_ema=args.use_ema,
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,
+        mesh=mesh,
     )
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
