@@ -579,3 +579,48 @@ def test_evaluate_cli_protein_mode(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1 proteins evaluated" in out and "1 with no covered" in out
     assert "1 NaN-flagged" in out
+
+
+def test_chi1_dihedral_hand_computed():
+    """chi1 machinery vs pencil-derived dihedrals on a synthetic SER."""
+    from tsdiff_tpu.eval.protein import (angular_diff_deg, chi1_accuracy,
+                                         chi1_quads, dihedral_deg)
+
+    def ser_graph(g_pos):
+        return dict(
+            atom_type=np.array([7, 6, 6, 8, 6, 8], np.int32),
+            atom2res=np.zeros(6, np.int64),
+            atom_name=["N", "CA", "C", "O", "CB", "OG"],
+            res_name=["SER"] * 6,
+            pos=np.array([[0.0, 0, 0], [1, 0, 0], [2, -1, 0], [2, -2, 0],
+                          [1, 1, 0], list(g_pos)], np.float32),
+        )
+
+    g = ser_graph([0.0, 1, 0])
+    quads = chi1_quads(g)
+    np.testing.assert_array_equal(quads, [[0, 1, 4, 5]])  # N-CA-CB-OG
+    # hand-derived: cis (OG eclipsing N) -> 0 deg
+    np.testing.assert_allclose(dihedral_deg(g["pos"], quads), [0.0], atol=1e-6)
+    # OG at (0,1,1): atan2(-1, 1) = -45 deg
+    np.testing.assert_allclose(
+        dihedral_deg(ser_graph([0, 1, 1])["pos"], quads), [-45.0], atol=1e-5)
+    # trans: OG at (2,1,0) -> 180 deg
+    np.testing.assert_allclose(
+        np.abs(dihedral_deg(ser_graph([2, 1, 0])["pos"], quads)), [180.0], atol=1e-5)
+
+    # accuracy tolerance: identical conformation is a hit...
+    gt = ser_graph([0, 1, 1])
+    acc, n = chi1_accuracy(gt["pos"], gt["pos"], gt)
+    assert (acc, n) == (1.0, 1)
+    far = ser_graph([2, 1, 0])  # 180 vs -45: diff 135 > 40
+    acc, n = chi1_accuracy(far["pos"], gt["pos"], gt)
+    assert (acc, n) == (0.0, 1)
+    # circular difference wraps: 170 vs -170 is 20 apart
+    np.testing.assert_allclose(
+        angular_diff_deg(np.array([170.0]), np.array([-170.0])), [20.0])
+    # ALA-only graph has no chi1
+    ala = dict(atom_type=np.zeros(5, np.int32), atom2res=np.zeros(5, np.int64),
+               atom_name=["N", "CA", "C", "O", "CB"], res_name=["ALA"] * 5,
+               pos=np.zeros((5, 3), np.float32))
+    acc, n = chi1_accuracy(ala["pos"], ala["pos"], ala)
+    assert n == 0 and np.isnan(acc)

@@ -85,8 +85,13 @@ def _write_stats(stats, args):
 
 
 def _protein_stats(samples, args):
-    """Sidechain-RMSD summary over a protein_sampling results pickle."""
+    """Sidechain-RMSD + chi1-accuracy summary over a protein_sampling
+    results pickle (chi1 needs the identity columns the sampling CLI
+    stores; eval/protein.py)."""
+    from tsdiff_tpu.eval.protein import chi1_accuracy
+
     rmsds, uncovered, nans = [], 0, 0
+    chi1_hits, chi1_total = 0.0, 0
     for r in samples:
         nans += bool(r.get("nan"))
         sc = np.asarray(r["is_sidechain"], bool)
@@ -96,13 +101,22 @@ def _protein_stats(samples, args):
             continue
         d = np.asarray(r["pos_gen"])[sc][cov] - np.asarray(r["pos_gt"])[sc][cov]
         rmsds.append(float(np.sqrt((d ** 2).sum(-1).mean())))
+        if "atom_name" in r:
+            acc, n_ang = chi1_accuracy(r["pos_gen"], r["pos_gt"], r)
+            if n_ang:
+                chi1_hits += acc * n_ang
+                chi1_total += n_ang
     rmsds = np.asarray(rmsds)
     print(f"{len(rmsds)} proteins evaluated ({uncovered} with no covered "
           f"sidechains, {nans} NaN-flagged)")
     if len(rmsds):
         print(f"sidechain RMSD  mean {rmsds.mean():.4f} | median "
               f"{np.median(rmsds):.4f} | std {rmsds.std():.4f}")
-    stats = {"sidechain_rmsd": rmsds, "nan_flagged": nans}
+    chi1 = chi1_hits / chi1_total if chi1_total else float("nan")
+    if chi1_total:
+        print(f"chi1 accuracy (40 deg): {chi1:.3f} over {chi1_total} angles")
+    stats = {"sidechain_rmsd": rmsds, "nan_flagged": nans,
+             "chi1_accuracy": chi1, "chi1_n": chi1_total}
     _write_stats(stats, args)
     return stats
 

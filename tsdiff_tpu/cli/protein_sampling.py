@@ -142,10 +142,16 @@ def main(argv=None):
             f"covered {int((counts > 0).sum())}/{int(sc.sum())} sidechain atoms"
             + (", NaN flagged" if nan else "")
         )
-        results.append(dict(
+        entry = dict(
             name=name, pos_gen=pos_gen, pos_gt=np.asarray(g["pos"]),
             is_sidechain=sc, coverage_counts=counts, nan=bool(nan),
-        ))
+        )
+        # identity columns ride along so evaluate --protein can compute
+        # chi1 accuracy (eval/protein.py)
+        for col in ("atom_name", "res_name", "atom2res"):
+            if col in g:
+                entry[col] = g[col]
+        results.append(entry)
         if args.write_pdb:
             # index prefix: distinct proteins can share a basename
             base = os.path.basename(str(name)) or "protein"

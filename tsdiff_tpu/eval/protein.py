@@ -1,0 +1,85 @@
+"""Protein sidechain evaluation: chi1 dihedral accuracy.
+
+The standard sidechain-packing metric (beyond raw RMSD): the chi1 torsion
+N-CA-CB-G (G = first gamma atom; CG / CG1 for ILE & VAL / OG for SER / OG1
+for THR / SG for CYS) of the generated conformation is "correct" when within
+a tolerance (conventionally 40 degrees) of the reference.  ALA/GLY have no
+chi1.  Host-side numpy; graphs are the dicts of tsdiff_tpu/data/pdb.py
+(identity columns ``atom_name``/``res_name``/``atom2res`` required).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: first gamma atom per residue type (standard PDB v3 names)
+GAMMA_ATOM = {
+    "ARG": "CG", "ASN": "CG", "ASP": "CG", "CYS": "SG", "GLN": "CG",
+    "GLU": "CG", "HIS": "CG", "ILE": "CG1", "LEU": "CG", "LYS": "CG",
+    "MET": "CG", "PHE": "CG", "PRO": "CG", "SER": "OG", "THR": "OG1",
+    "TRP": "CG", "TYR": "CG", "VAL": "CG1",
+}
+
+
+def chi1_quads(graph: dict) -> np.ndarray:
+    """(n_chi, 4) atom indices [N, CA, CB, G] for every residue with a chi1.
+
+    Residues missing any of the four atoms are skipped.
+    """
+    atom2res = np.asarray(graph["atom2res"])
+    names = graph["atom_name"]
+    resnames = graph["res_name"]
+    by_res: dict[int, dict[str, int]] = {}
+    for i, r in enumerate(atom2res):
+        by_res.setdefault(int(r), {}).setdefault(names[i], i)
+    quads = []
+    for r, atoms in sorted(by_res.items()):
+        i0 = min(atoms.values())
+        gamma = GAMMA_ATOM.get(resnames[i0])
+        if gamma is None:
+            continue
+        try:
+            quads.append([atoms["N"], atoms["CA"], atoms["CB"], atoms[gamma]])
+        except KeyError:
+            continue
+    return np.asarray(quads, np.int64).reshape(-1, 4)
+
+
+def dihedral_deg(pos: np.ndarray, quads: np.ndarray) -> np.ndarray:
+    """Signed dihedral angles (degrees) for (m, 4) atom-index quadruples.
+
+    Standard atan2 formulation (numerically stable near 0/180; matches the
+    sign convention of reference models/geometry.py get_dihedral).
+    """
+    p = np.asarray(pos, np.float64)
+    a, b, c, d = (p[quads[:, k]] for k in range(4))
+    b1, b2, b3 = b - a, c - b, d - c
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2, axis=-1, keepdims=True))
+    x = np.sum(n1 * n2, axis=-1)
+    y = np.sum(m1 * n2, axis=-1)
+    return np.degrees(np.arctan2(y, x))
+
+
+def angular_diff_deg(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """|a - b| on the circle, in [0, 180]."""
+    d = np.abs(a - b) % 360.0
+    return np.minimum(d, 360.0 - d)
+
+
+def chi1_accuracy(
+    pos_gen: np.ndarray, pos_gt: np.ndarray, graph: dict, tol_deg: float = 40.0
+) -> tuple[float, int]:
+    """Fraction of chi1 angles within ``tol_deg`` of the reference.
+
+    Returns ``(accuracy, n_angles)``; ``(nan, 0)`` when the protein has no
+    measurable chi1 (e.g. ALA/GLY-only).
+    """
+    quads = chi1_quads(graph)
+    if len(quads) == 0:
+        return float("nan"), 0
+    diff = angular_diff_deg(
+        dihedral_deg(pos_gen, quads), dihedral_deg(pos_gt, quads)
+    )
+    return float((diff <= tol_deg).mean()), int(len(quads))
