@@ -624,3 +624,36 @@ def test_chi1_dihedral_hand_computed():
                pos=np.zeros((5, 3), np.float32))
     acc, n = chi1_accuracy(ala["pos"], ala["pos"], ala)
     assert n == 0 and np.isnan(acc)
+
+
+def test_parse_pdb_robustness():
+    """Messy real-world PDB text: hydrogens, altlocs, HETATM, multi-model,
+    missing element column."""
+    lines = [
+        "HEADER    TEST",
+        "REMARK  1 whatever",
+        _atom_line(1, "N", "ALA", "A", 1, 0, 0, 0, "N"),
+        # hydrogen -> skipped by default
+        _atom_line(2, "H", "ALA", "A", 1, 0.5, 0.5, 0, "H"),
+        # altloc B -> skipped (keep A/blank only)
+        _atom_line(3, "CA", "ALA", "A", 1, 1.4, 0, 0, "C")[:16] + "B" +
+        _atom_line(3, "CA", "ALA", "A", 1, 1.4, 0, 0, "C")[17:],
+        _atom_line(4, "CA", "ALA", "A", 1, 1.45, 0, 0, "C"),
+        # HETATM (water) -> skipped
+        "HETATM    5  O   HOH A 201      9.000   9.000   9.000  1.00  0.00           O",
+        # element column blank -> inferred from the atom-name columns
+        _atom_line(6, "C", "ALA", "A", 1, 2.1, 1.2, 0, "C")[:76] + "  ",
+        _atom_line(7, "O", "ALA", "A", 1, 1.6, 2.3, 0, "O"),
+        _atom_line(8, "CB", "ALA", "A", 1, 1.8, -0.9, 1.2, "C"),
+        "ENDMDL",
+        # second model must be ignored entirely
+        _atom_line(9, "N", "GLY", "A", 2, 50, 50, 50, "N"),
+    ]
+    atoms = parse_pdb("\n".join(lines))
+    assert atoms.name == ["N", "CA", "C", "O", "CB"]
+    assert atoms.element == ["N", "C", "C", "O", "C"]
+    np.testing.assert_allclose(atoms.pos[1], [1.45, 0, 0], atol=1e-6)
+    # altloc A variant kept exactly once, model 2 dropped
+    assert len(atoms) == 5
+    g = pdb_to_graph("\n".join(lines))
+    assert g is not None and len(g["atom_type"]) == 5
