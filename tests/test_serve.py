@@ -66,9 +66,13 @@ def test_service_batches_and_resolves(tiny_ckpt):
 def test_http_front_end(tiny_ckpt):
     import tsdiff_tpu.serve as serve_mod
 
+    import socket
+
     rng = np.random.default_rng(2)
     g = make_graph_dicts(rng, [6], feat_dim=FEAT)[0]
-    port = 18913
+    with socket.socket() as sk:  # grab a free port
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
     t = threading.Thread(
         target=serve_mod.main,
         args=([tiny_ckpt, "--port", str(port), "--n_steps", "3",

@@ -143,7 +143,6 @@ class SamplerService:
         if first is None:
             return None
         reqs = [first]
-        deadline = threading.Event()
         try:
             while len(reqs) < self.max_batch:
                 item = self._q.get(timeout=self.max_wait_s)
@@ -153,7 +152,6 @@ class SamplerService:
                 reqs.append(item)
         except queue.Empty:
             pass
-        del deadline
         return reqs
 
     def _loop(self):
