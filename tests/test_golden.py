@@ -290,3 +290,60 @@ def test_dual_branch_losses_hand_computed():
 
     np.testing.assert_allclose(np.asarray(lg)[0], exp_lg, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ll)[0], exp_ll, rtol=1e-6)
+
+
+def test_golden_legacy_update_coefficients():
+    """ddpm_noisy / ddpm_det / generalized coefficients vs the LITERAL
+    reference formulas (dualenc.py:871-944), replayed in scalar math with
+    the reference's ``e = -eps_pos`` composition."""
+    alphas = np.array([0.9, 0.8, 0.5, 0.2], np.float64)
+    schedule = DiffusionSchedule(
+        betas=jnp.zeros(4, jnp.float32),
+        alphas=jnp.asarray(alphas, jnp.float32),
+    )
+
+    for st in ("ddpm_noisy", "ddpm_det"):
+        co = build_step_coeffs(schedule, SamplingSettings(st, n_steps=4))
+        for k, i in enumerate([3, 2, 1, 0]):
+            at = float(alphas[i])
+            atm1 = float(alphas[i - 1]) if i > 0 else 1.0
+            beta_t = 1 - at / atm1
+            # pos_next = mean_eps(pos, e=-eps) + mask*std*noise, literally:
+            #   pos0_from_e = sqrt(1/at)*pos - sqrt(1/at-1)*e
+            #   mean = (sqrt(atm1)*beta*pos0 + sqrt(1-beta)*(1-atm1)*pos)/(1-at)
+            a = (math.sqrt(atm1) * beta_t * math.sqrt(1 / at)
+                 + math.sqrt(1 - beta_t) * (1 - atm1)) / (1 - at)
+            b = (math.sqrt(atm1) * beta_t * math.sqrt(1 / at - 1)) / (1 - at)
+            mask = 0.0 if i == 0 else 1.0
+            # exp(0.5*logvar) written as a direct sqrt (torch's log(0) is
+            # -inf -> exp gives 0; the mask kills the i=0 term either way)
+            if st == "ddpm_noisy":
+                c = mask * math.sqrt(beta_t)
+            else:
+                c = mask * math.sqrt(beta_t * (1 - atm1) / (1 - at))
+            np.testing.assert_allclose(co.a[k], a, rtol=1e-5, err_msg=f"{st} a i={i}")
+            np.testing.assert_allclose(co.b[k], b, rtol=1e-5, err_msg=f"{st} b i={i}")
+            np.testing.assert_allclose(co.c[k], c, rtol=1e-5, atol=1e-8,
+                                       err_msg=f"{st} c i={i}")
+
+    lr = 1e-6
+    for eta in (1.0, 0.5):
+        co = build_step_coeffs(
+            schedule, SamplingSettings("generalized", n_steps=4, step_lr=lr, eta=eta)
+        )
+        for k, i in enumerate([3, 2, 1, 0]):
+            at = float(alphas[i])
+            atm1 = float(alphas[i - 1]) if i > 0 else 1.0
+            sig = math.sqrt(1 - at) / math.sqrt(at)
+            c1 = eta * math.sqrt((1 - at / atm1) * (1 - atm1) / (1 - at))
+            c2 = math.sqrt(max((1 - atm1) - c1 ** 2, 0.0))
+            # pos_next = pos - et*step_pos + noise*step_noise with et = -eps
+            sp_ld = lr * (sig / 0.01) ** 2 / sig
+            sp_gen = 5 * (math.sqrt(1 - at) / math.sqrt(at) - c2 / math.sqrt(atm1))
+            sn_ld = math.sqrt(lr * (sig / 0.01) ** 2 * 2)
+            sn_gen = 3 * (c1 / math.sqrt(atm1))
+            assert co.a[k] == 1.0
+            np.testing.assert_allclose(co.b[k], min(sp_ld, sp_gen), rtol=1e-5,
+                                       err_msg=f"gen b i={i} eta={eta}")
+            np.testing.assert_allclose(co.c[k], min(sn_ld, sn_gen), rtol=1e-5,
+                                       atol=1e-9, err_msg=f"gen c i={i} eta={eta}")
