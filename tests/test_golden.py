@@ -28,6 +28,15 @@ from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
 NB = 22  # len(BOND_TYPES), reference utils/chem.py:21
 
 
+def _hand_schedule():
+    """4-step schedule with round alphas (0.9, 0.8, 0.5, 0.2) — every derived
+    quantity stays pencil-computable."""
+    alphas = np.array([0.9, 0.8, 0.5, 0.2], np.float32)
+    return DiffusionSchedule(
+        betas=jnp.zeros(4, jnp.float32), alphas=jnp.asarray(alphas)
+    ), np.asarray(alphas, np.float64)
+
+
 def _bond_mat(n, edges, code):
     m = np.zeros((1, n, n), np.int32)
     for i, j in edges:
@@ -202,10 +211,7 @@ def test_golden_update_coefficients():
         a=(sqrt(at_next)*beta + sqrt(1-beta)*(1-at_next)*sqrt(at))/denom
         b= sqrt(at_next)*beta*sqrt(1/at-1)/denom,  c=sqrt(beta/at_next)
     """
-    alphas = np.array([0.9, 0.8, 0.5, 0.2], np.float32)
-    schedule = DiffusionSchedule(
-        betas=jnp.zeros(4, jnp.float32), alphas=jnp.asarray(alphas)
-    )
+    schedule, alphas = _hand_schedule()
     lr = 1e-7
 
     co = build_step_coeffs(schedule, SamplingSettings("ld", n_steps=4, step_lr=lr))
@@ -296,11 +302,7 @@ def test_golden_legacy_update_coefficients():
     """ddpm_noisy / ddpm_det / generalized coefficients vs the LITERAL
     reference formulas (dualenc.py:871-944), replayed in scalar math with
     the reference's ``e = -eps_pos`` composition."""
-    alphas = np.array([0.9, 0.8, 0.5, 0.2], np.float64)
-    schedule = DiffusionSchedule(
-        betas=jnp.zeros(4, jnp.float32),
-        alphas=jnp.asarray(alphas, jnp.float32),
-    )
+    schedule, alphas = _hand_schedule()
 
     for st in ("ddpm_noisy", "ddpm_det"):
         co = build_step_coeffs(schedule, SamplingSettings(st, n_steps=4))
