@@ -150,3 +150,142 @@ def test_service_sharded_matches_unsharded(tiny_ckpt):
     out = run(make_mesh(dp=4, ens=2))
     for a, b in zip(ref, out):
         np.testing.assert_allclose(b["pos_gen"], a["pos_gen"], rtol=1e-4, atol=1e-5)
+
+
+# -- round-3 hardening: tier planning, backpressure, timeout, cancel, drain --
+
+
+def _planner(max_batch, dp=1):
+    svc = SamplerService.__new__(SamplerService)
+    svc.max_batch = max_batch
+    svc._dp = dp
+    return svc
+
+
+def test_tier_ladder_and_planning():
+    p = _planner(100)
+    assert p._tier_ladder() == [100, 50, 25, 12, 6]
+    # the round-2 waste case: 54 requests no longer pad to tier 100
+    assert p._plan_tiers(54) == [50, 6]
+    assert sum(p._plan_tiers(54)) < 100
+    # tiny remainders are not worth an extra dispatch
+    assert p._plan_tiers(5) == [6]
+    assert p._plan_tiers(0) == []
+    assert p._plan_tiers(100) == [100]
+    for n in range(1, 101):
+        plan = p._plan_tiers(n)
+        assert sum(plan) >= n
+        assert all(t in p._tier_ladder() for t in plan)
+
+
+def test_tier_ladder_respects_dp():
+    # ADVICE round-2: max_batch=18, dp=6 must not yield tier 9
+    p = _planner(18, dp=6)
+    assert p._tier_ladder() == [18]
+    assert p._batch_tier(4) == 18
+    p2 = _planner(32, dp=8)
+    assert p2._tier_ladder() == [32, 16, 8]
+    assert all(t % 8 == 0 for t in p2._plan_tiers(21))
+
+
+@pytest.fixture
+def gated_service(tiny_ckpt, monkeypatch):
+    """Service whose _run_group blocks on an event — deterministic queue
+    states without device timing."""
+    import time as _time
+
+    gate = threading.Event()
+    ran = []
+
+    def fake_run_group(self, bucket, group, tier):
+        assert gate.wait(60), "test gate never opened"
+        for r in group:
+            if not r.future.done():
+                r.future.set_result(
+                    {"pos_gen": np.zeros((r.n_atoms, 3), np.float32), "nan": False}
+                )
+        self._served += len(group)
+        ran.append((bucket, tier, len(group)))
+
+    monkeypatch.setattr(SamplerService, "_run_group", fake_run_group)
+    svc = SamplerService(
+        [tiny_ckpt], n_steps=2, dtype="float32", max_batch=2,
+        max_wait_s=0.05, max_pending=2,
+    )
+    # hand the worker its first request so the queue is exclusively ours
+    first = svc.submit(make_graph_dicts(np.random.default_rng(9), [5], feat_dim=FEAT)[0])
+    for _ in range(200):
+        if svc._q.qsize() == 0 and first.running():
+            break
+        _time.sleep(0.02)
+    assert first.running(), "worker did not pick up the priming request"
+    yield svc, gate, ran, first
+    gate.set()
+    svc.close()
+
+
+def test_backpressure_rejects_when_full(gated_service):
+    from tsdiff_tpu.serve import ServiceOverloaded
+
+    svc, gate, _, first = gated_service
+    rng = np.random.default_rng(10)
+    gs = make_graph_dicts(rng, [5, 5, 5], feat_dim=FEAT)
+    f1 = svc.submit(gs[0])
+    f2 = svc.submit(gs[1])
+    with pytest.raises(ServiceOverloaded):
+        svc.submit(gs[2])
+    assert svc._rejected == 1
+    gate.set()
+    assert f1.result(timeout=60)["pos_gen"].shape == (5, 3)
+    assert f2.result(timeout=60)["nan"] is False
+    assert first.result(timeout=60) is not None
+
+
+def test_timeout_and_cancel(gated_service):
+    import time as _time
+
+    svc, gate, ran, first = gated_service
+    rng = np.random.default_rng(11)
+    gs = make_graph_dicts(rng, [6, 6], feat_dim=FEAT)
+    f_timeout = svc.submit(gs[0], timeout_s=0.01)
+    f_cancel = svc.submit(gs[1])
+    assert f_cancel.cancel()
+    _time.sleep(0.05)  # let the deadline expire while queued
+    gate.set()
+    with pytest.raises(TimeoutError):
+        f_timeout.result(timeout=60)
+    assert f_cancel.cancelled()
+    first.result(timeout=60)
+    # wait for the worker to process the shed batch
+    for _ in range(200):
+        if svc._timed_out and svc._cancelled:
+            break
+        _time.sleep(0.02)
+    assert svc._timed_out == 1 and svc._cancelled == 1
+    # neither shed request occupied a batch slot
+    assert all(n <= 1 for _, _, n in ran)
+
+
+def test_close_drains_queued_requests(tiny_ckpt, monkeypatch):
+    ran = []
+
+    def fake_run_group(self, bucket, group, tier):
+        for r in group:
+            if not r.future.done():
+                r.future.set_result(
+                    {"pos_gen": np.zeros((r.n_atoms, 3), np.float32), "nan": False}
+                )
+        ran.append(len(group))
+
+    monkeypatch.setattr(SamplerService, "_run_group", fake_run_group)
+    svc = SamplerService(
+        [tiny_ckpt], n_steps=2, dtype="float32", max_batch=4, max_wait_s=0.01,
+    )
+    futs = [
+        svc.submit(g)
+        for g in make_graph_dicts(np.random.default_rng(12), [5] * 6, feat_dim=FEAT)
+    ]
+    svc.close(drain=True)
+    assert all(f.result(timeout=1)["nan"] is False for f in futs)
+    with pytest.raises(RuntimeError):
+        svc.submit(make_graph_dicts(np.random.default_rng(1), [5], feat_dim=FEAT)[0])

@@ -102,7 +102,10 @@ def _protein_stats(samples, args):
         d = np.asarray(r["pos_gen"])[sc][cov] - np.asarray(r["pos_gt"])[sc][cov]
         rmsds.append(float(np.sqrt((d ** 2).sum(-1).mean())))
         if "atom_name" in r:
-            acc, n_ang = chi1_accuracy(r["pos_gen"], r["pos_gt"], r)
+            acc, n_ang = chi1_accuracy(
+                r["pos_gen"], r["pos_gt"], r,
+                coverage_counts=r.get("coverage_counts"),
+            )
             if n_ang:
                 chi1_hits += acc * n_ang
                 chi1_total += n_ang

@@ -31,18 +31,27 @@ from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
 
 def _branch_losses(
     edge_inv_global, edge_inv_local, edges, d_perturbed, batch, pos_perturbed,
-    d_target, cutoff,
+    d_target, cutoff, d_cutoff=None,
 ):
     """Global/local per-node squared errors (reference dualenc.py:498-532).
 
     global_mask keeps non-local edges within the cutoff
     (reference dualenc.py:498-504); the local branch uses the typed edges.
+
+    ``d_cutoff`` (optional) is the distance array used ONLY for the cutoff
+    test in global_mask.  The protein DSM loss passes the train-edge-replaced
+    distances here (reference dualenc.py:1047-1053 tests the replaced
+    ``d_perturbed`` against the cutoff) while all eq_transform edge lengths
+    stay the original perturbed distances (reference dualenc.py:1060-1086
+    passes ``edge_length``, never the replaced copy).
     """
     eg = edge_inv_global[..., 0] if edge_inv_global.ndim == 4 else edge_inv_global
     el = edge_inv_local[..., 0] if edge_inv_local.ndim == 4 else edge_inv_local
 
+    if d_cutoff is None:
+        d_cutoff = d_perturbed
     global_mask = (
-        ((d_perturbed <= cutoff) | edges.mask_local)
+        ((d_cutoff <= cutoff) | edges.mask_local)
         & ~edges.mask_local
         & edges.mask_global
     )
@@ -147,14 +156,20 @@ def dual_dsm_loss(
         time_step=t, is_sidechain=is_sidechain,
     )
     d_gt = pairwise_distance(batch.pos, edges.mask_global)
+    # Train-edge replacement (reference dualenc.py:1033-1037): backbone-
+    # backbone edges get d_gt, zeroing their d_target.  The replaced copy
+    # feeds ONLY d_target and the cutoff test; eq_transform edge lengths and
+    # d_local keep the original perturbed distances (dualenc.py:1060-1086).
+    d_replaced = d_pert
     if is_sidechain is not None:
         train_mask = is_train_edge_mask(edges.mask_global, is_sidechain)
-        d_pert = jnp.where(train_mask, d_pert, d_gt)
+        d_replaced = jnp.where(train_mask, d_pert, d_gt)
     s_edge = noise_levels[:, None, None]
-    d_target = (d_gt - d_pert) / s_edge**2
+    d_target = (d_gt - d_replaced) / s_edge**2
 
     lg, ll = _branch_losses(
-        eg, el, edges, d_pert, batch, pos_perturbed, d_target, model.cutoff
+        eg, el, edges, d_pert, batch, pos_perturbed, d_target, model.cutoff,
+        d_cutoff=d_replaced,
     )
     w = (s_pos[..., 0] ** anneal_power)
     loss_node = 2.0 * 0.5 * lg * w + 5.0 * 0.5 * ll * w

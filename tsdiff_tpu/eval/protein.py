@@ -69,14 +69,22 @@ def angular_diff_deg(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def chi1_accuracy(
-    pos_gen: np.ndarray, pos_gt: np.ndarray, graph: dict, tol_deg: float = 40.0
+    pos_gen: np.ndarray, pos_gt: np.ndarray, graph: dict, tol_deg: float = 40.0,
+    coverage_counts: np.ndarray | None = None,
 ) -> tuple[float, int]:
     """Fraction of chi1 angles within ``tol_deg`` of the reference.
 
     Returns ``(accuracy, n_angles)``; ``(nan, 0)`` when the protein has no
     measurable chi1 (e.g. ALA/GLY-only).
+
+    ``coverage_counts`` (n,): when given, quads whose sidechain atoms (CB and
+    the gamma atom) were never scored (count 0 — their pos_gen still equals
+    the ground-truth input) are excluded so they cannot inflate accuracy.
     """
     quads = chi1_quads(graph)
+    if coverage_counts is not None and len(quads):
+        cov = np.asarray(coverage_counts)
+        quads = quads[(cov[quads[:, 2]] > 0) & (cov[quads[:, 3]] > 0)]
     if len(quads) == 0:
         return float("nan"), 0
     diff = angular_diff_deg(

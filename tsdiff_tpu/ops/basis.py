@@ -5,6 +5,14 @@ capability of reference models/geometry.py:94-429): sympy-generated closed
 forms of the normalized spherical Bessel functions and real spherical
 harmonics, lambdified against jax.numpy.  Host-side generation happens once
 at module construction; evaluation is pure jnp and traces into jit.
+
+The sympy generators (``Jn``/``Jn_zeros``/``spherical_bessel_formulas``/
+``bessel_basis``/``associated_legendre_polynomials``/``real_sph_harm``) are
+the BSD-licensed GemNet ``basis_utils`` (github.com/TUM-DAML/gemnet_pytorch,
+Copyright (c) 2021 TUM-DAML; originally from DimeNet, Klicpera et al.) —
+the same third-party machinery the reference vendors verbatim at
+models/geometry.py:89-332.  The recurrences admit essentially one
+implementation; only the lambdify target (jax.numpy) is ours.
 """
 
 from __future__ import annotations

@@ -21,9 +21,16 @@ Graphs use the standard dict layout (data/dataset.py): ``atom_type (n,)``,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
+import time
 from concurrent.futures import Future
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised by ``submit`` when the bounded request queue is full
+    (backpressure: the caller should retry later or shed load)."""
 
 
 @dataclasses.dataclass
@@ -31,6 +38,7 @@ class _Request:
     graph: dict
     future: Future
     n_atoms: int
+    deadline: float | None = None  # time.monotonic() cutoff, None = no limit
 
 
 class SamplerService:
@@ -55,10 +63,20 @@ class SamplerService:
         max_wait_s: float = 0.05,
         seed: int = 2022,
         mesh=None,
+        max_pending: int | None = None,
+        default_timeout_s: float | None = None,
     ):
         """``mesh``: optional Mesh with a ``dp`` axis — bucket batches shard
         over devices, stacked ensemble params shard over ``ens`` when the
-        axis is present (sizes must divide max_batch and the tier ladder)."""
+        axis is present (sizes must divide max_batch and the tier ladder).
+
+        ``max_pending``: bound on queued (not-yet-running) requests; a full
+        queue makes ``submit`` raise :class:`ServiceOverloaded`
+        (backpressure).  Default ``4 * max_batch``; pass 0 for unbounded.
+
+        ``default_timeout_s``: server-side deadline applied to every request
+        that doesn't pass its own ``timeout_s``; expired requests are failed
+        with ``TimeoutError`` instead of occupying a batch slot."""
         import jax
         import jax.numpy as jnp
 
@@ -107,33 +125,79 @@ class SamplerService:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.seed = seed
+        self.default_timeout_s = default_timeout_s
         self._runners: dict[int, object] = {}  # bucket -> jitted fn
-        self._q: queue.Queue[_Request | None] = queue.Queue()
+        if max_pending is None:
+            max_pending = 4 * max_batch
+        self._q: queue.Queue[_Request | None] = queue.Queue(maxsize=max_pending)
         self._served = 0
+        self._timed_out = 0
+        self._cancelled = 0
+        self._rejected = 0
         self._closed = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # -- client API ---------------------------------------------------------
 
-    def submit(self, graph: dict) -> Future:
+    def submit(self, graph: dict, timeout_s: float | None = None) -> Future:
+        """Enqueue one graph; returns a Future resolving to
+        ``{"pos_gen", "nan"}``.
+
+        Raises :class:`ServiceOverloaded` when the bounded queue is full.
+        ``timeout_s`` sets a server-side deadline (fails with ``TimeoutError``
+        if the request hasn't STARTED by then); cancel an unstarted request
+        with ``future.cancel()`` — it then never occupies a batch slot."""
         import numpy as np
 
-        assert not self._closed, "service closed"
+        if self._closed:
+            raise RuntimeError("service closed")
         fut: Future = Future()
         n = int(np.asarray(graph["atom_type"]).shape[0])
-        self._q.put(_Request(graph=graph, future=fut, n_atoms=n))
+        if timeout_s is None:
+            timeout_s = self.default_timeout_s
+        deadline = time.monotonic() + timeout_s if timeout_s is not None else None
+        req = _Request(graph=graph, future=fut, n_atoms=n, deadline=deadline)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            self._rejected += 1
+            raise ServiceOverloaded(
+                f"request queue full ({self._q.maxsize} pending)"
+            ) from None
         return fut
 
-    def generate(self, graphs: list[dict]) -> list[dict]:
-        """Blocking convenience: submit all, wait for all."""
-        futs = [self.submit(g) for g in graphs]
+    def generate(self, graphs: list[dict], timeout_s: float | None = None) -> list[dict]:
+        """Blocking convenience: submit all, wait for all.  All-or-nothing:
+        if the queue fills mid-submit the already-queued part is cancelled."""
+        futs: list[Future] = []
+        try:
+            for g in graphs:
+                futs.append(self.submit(g, timeout_s=timeout_s))
+        except ServiceOverloaded:
+            for f in futs:
+                f.cancel()
+            raise
         return [f.result() for f in futs]
 
-    def close(self):
+    def close(self, drain: bool = True):
+        """Stop the worker.  ``drain=True`` (default) serves every request
+        already queued before returning; ``drain=False`` cancels them."""
+        if self._closed:
+            return
         self._closed = True
+        if not drain:
+            # flush: cancel everything still queued (FIFO order preserved so
+            # the sentinel lands after the flush)
+            try:
+                while True:
+                    req = self._q.get_nowait()
+                    if req is not None and req.future.cancel():
+                        self._cancelled += 1
+            except queue.Empty:
+                pass
         self._q.put(None)
-        self._worker.join(timeout=60)
+        self._worker.join(timeout=600)
 
     # -- worker -------------------------------------------------------------
 
@@ -168,23 +232,88 @@ class SamplerService:
             for r in reqs:
                 groups.setdefault(pick_bucket(r.n_atoms, buckets), []).append(r)
             for bucket, group in sorted(groups.items()):
-                try:
-                    self._run_group(bucket, group)
-                except Exception as e:  # noqa: BLE001 - propagate to callers
-                    for r in group:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                # shed expired / client-cancelled requests before planning
+                # tiers; set_running_or_notify_cancel makes surviving
+                # requests uncancellable from here on
+                now = time.monotonic()
+                live = []
+                for r in group:
+                    if r.deadline is not None and now > r.deadline:
+                        self._timed_out += 1
+                        r.future.set_exception(
+                            TimeoutError("request deadline expired in queue")
+                        )
+                    elif not r.future.set_running_or_notify_cancel():
+                        self._cancelled += 1
+                    else:
+                        live.append(r)
+                # split the group into tier-sized chunks (a 54-request group
+                # runs as 50 + 4, not padded to the tier-100 shape)
+                i = 0
+                for tier in self._plan_tiers(len(live)):
+                    chunk = live[i : i + tier]
+                    i += tier
+                    try:
+                        self._run_group(bucket, chunk, tier)
+                    except Exception as e:  # noqa: BLE001 - propagate to callers
+                        for r in chunk:
+                            if not r.future.done():
+                                r.future.set_exception(e)
+
+    def _tier_ladder(self) -> list[int]:
+        """Descending batch tiers: max_batch halved while the result stays
+        >= max(4, dp) AND a multiple of dp (shard_batch over the dp axis
+        needs every tier divisible by dp)."""
+        ladder = [self.max_batch]
+        while (
+            ladder[-1] // 2 >= max(4, self._dp)
+            and (ladder[-1] // 2) % self._dp == 0
+        ):
+            ladder.append(ladder[-1] // 2)
+        return ladder
+
+    def _plan_tiers(self, n: int) -> list[int]:
+        """Tier sizes whose chunks cover ``n`` requests, minimizing padded
+        slots with a small per-extra-chunk penalty (each dispatch has a
+        fixed per-step floor).  One compiled shape per (bucket, tier), ever.
+        E.g. max_batch=100: n=54 -> [50, 4] (was: one padded tier-100 run);
+        n=5 -> [8] (splitting 4+4 over two dispatches isn't worth 3 slots)."""
+        if n == 0:
+            return []
+        ladder = self._tier_ladder()
+        chunk_penalty = max(4, self._dp)
+
+        @functools.lru_cache(maxsize=None)
+        def best(m: int) -> tuple[float, tuple[int, ...]]:
+            if m == 0:
+                return 0.0, ()
+            cands = []
+            fit = min((t for t in ladder if t >= m), default=None)
+            if fit is not None:
+                cands.append((float(fit), (fit,)))
+            for t in ladder:
+                if t <= m:
+                    cost, plan = best(m - t)
+                    cands.append((t + chunk_penalty + cost, (t,) + plan))
+            return min(cands)
+
+        plan: list[int] = []
+        while n > self.max_batch:
+            plan.append(self.max_batch)
+            n -= self.max_batch
+        plan.extend(sorted(best(n)[1], reverse=True))
+        return plan
 
     def _batch_tier(self, n: int) -> int:
-        """Smallest tier (max_batch, max_batch/2, /4, ... >= 4) holding n
-        requests.  A handful of compiled shapes per bucket instead of one,
-        but a group of 20 no longer pays for a batch of ``max_batch``."""
+        """Smallest single tier holding ``n`` requests (compat helper;
+        the worker uses :meth:`_plan_tiers`)."""
         tier = self.max_batch
-        while tier // 2 >= max(n, 4, self._dp):
-            tier //= 2
+        for t in self._tier_ladder():
+            if t >= n:
+                tier = t
         return tier
 
-    def _run_group(self, bucket: int, group: list[_Request]):
+    def _run_group(self, bucket: int, group: list[_Request], tier: int):
         import jax
         import numpy as np
 
@@ -193,7 +322,6 @@ class SamplerService:
         # fixed (tier, bucket) shape: pad with copies of the last graph so
         # each (bucket, tier) pair compiles exactly once per service lifetime
         graphs = [r.graph for r in group]
-        tier = self._batch_tier(len(graphs))
         gpad = graphs + [graphs[-1]] * (tier - len(graphs))
         batch = from_numpy_graphs(gpad, max_nodes=bucket)
         key = jax.random.key(self.seed * 7919 + self._served)
@@ -281,6 +409,10 @@ def main(argv=None):
     parser.add_argument("--use_ema", action="store_true", default=False)
     parser.add_argument("--max_batch", type=int, default=32)
     parser.add_argument("--max_wait_ms", type=float, default=50.0)
+    parser.add_argument("--max_pending", type=int, default=None,
+                        help="bounded queue size (default 4*max_batch; 0 = unbounded)")
+    parser.add_argument("--timeout_s", type=float, default=None,
+                        help="server-side default request deadline")
     parser.add_argument("--mesh", type=str, default="none",
                         help="DP,ENS device mesh (e.g. '4,2') or 'none'")
     args = parser.parse_args(argv)
@@ -297,7 +429,8 @@ def main(argv=None):
         step_lr=args.step_lr, clip=args.clip, dtype=args.dtype,
         fused_score=args.fused_score, use_ema=args.use_ema,
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,
-        mesh=mesh,
+        mesh=mesh, max_pending=args.max_pending,
+        default_timeout_s=args.timeout_s,
     )
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -330,7 +463,13 @@ def main(argv=None):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, "served": service._served})
+                self._json(200, {
+                    "ok": True, "served": service._served,
+                    "pending": service._q.qsize(),
+                    "timed_out": service._timed_out,
+                    "cancelled": service._cancelled,
+                    "rejected": service._rejected,
+                })
             else:
                 self._json(404, {"error": "not found"})
 
@@ -342,11 +481,17 @@ def main(argv=None):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 graphs = [graph_from_json(d) for d in req["graphs"]]
-                results = service.generate(graphs)
+                results = service.generate(
+                    graphs, timeout_s=req.get("timeout_s")
+                )
                 self._json(200, {
                     "pos_gen": [r["pos_gen"].tolist() for r in results],
                     "nan": [r["nan"] for r in results],
                 })
+            except ServiceOverloaded as e:
+                self._json(503, {"error": f"overloaded: {e}"})
+            except TimeoutError as e:
+                self._json(504, {"error": f"timeout: {e}"})
             except Exception as e:  # noqa: BLE001 - report to client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

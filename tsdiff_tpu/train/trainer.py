@@ -206,18 +206,39 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+def _ordered_leaves(x):
+    """Leaves of an orbax-restored container in the ORIGINAL tuple order.
+
+    Orbax restores tuples/NamedTuples as dicts keyed "0", "1", ...; JAX's
+    ``tree_leaves`` orders dict keys lexicographically ("10" < "2"), which
+    would scramble any chain with more than 10 elements.  Sort integer-string
+    keys numerically instead; everything else follows JAX's sorted-key order.
+    """
+    if isinstance(x, dict):
+        keys = list(x.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+            keys.sort(key=int)
+        else:
+            keys.sort()
+        return [leaf for k in keys for leaf in _ordered_leaves(x[k])]
+    if isinstance(x, (list, tuple)):
+        return [leaf for v in x for leaf in _ordered_leaves(v)]
+    return [x]
+
+
 def restore_opt_state(template, restored):
     """Rebuild an optax opt_state from a checkpoint payload.
 
     The pickle backend round-trips the optax NamedTuple structure; the orbax
     backend restores nested plain containers (tuples/NamedTuples come back
-    as dicts), so reshape the restored LEAVES into the template's structure
-    — leaf order is preserved by both backends.
+    as dicts keyed "0","1",...), so reshape the restored LEAVES into the
+    template's structure, with integer-string dict keys ordered numerically
+    (``_ordered_leaves``) so >10-element optax chains don't scramble.
     """
     tmpl_def = jax.tree_util.tree_structure(template)
     if jax.tree_util.tree_structure(restored) == tmpl_def:
         return jax.tree_util.tree_map(jnp.asarray, restored)
-    leaves = jax.tree_util.tree_leaves(restored)
+    leaves = _ordered_leaves(restored)
     tmpl_leaves = jax.tree_util.tree_leaves(template)
     if len(leaves) != len(tmpl_leaves):
         raise ValueError(
