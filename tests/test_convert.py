@@ -9,39 +9,11 @@ from tsdiff_tpu.models import get_model
 from test_condensenc import MODEL_CFG, make_batch
 
 
-def params_to_state_dict(params: dict, num_convs: int) -> dict:
-    """Inverse mapping (test-only): flax params -> torch-style state_dict."""
-    p = params["params"]
-    sd = {}
+from tsdiff_tpu.data.convert import condensenc_state_dict_from_params
 
-    def put_dense(prefix, d):
-        sd[f"{prefix}.weight"] = np.asarray(d["Dense_0"]["kernel"]).T
-        if "bias" in d["Dense_0"]:
-            sd[f"{prefix}.bias"] = np.asarray(d["Dense_0"]["bias"])
-
-    sd["atom_embedding.weight"] = np.asarray(p["atom_embedding"]["embedding"])
-    sd["atom_feat_embedding.weight"] = np.asarray(
-        p["atom_feat_embedding"]["Dense_0"]["kernel"]
-    ).T
-    sd["edge_encoder.bond_emb.weight"] = np.asarray(p["edge_enc"]["bond_emb"]["embedding"])
-    put_dense("edge_encoder.mlp.layers.0", p["edge_enc"]["mlp"]["layers_0"])
-    put_dense("edge_encoder.mlp.layers.1", p["edge_enc"]["mlp"]["layers_1"])
-    put_dense("edge_cat.0", p["edge_cat"]["lin0"])
-    put_dense("edge_cat.2", p["edge_cat"]["lin1"])
-    st = p["encoder"]["stack"]
-    for l in range(num_convs):
-        sd[f"encoder.interactions.{l}.conv.mlp.0.weight"] = np.asarray(st["f1w"][l]).T
-        sd[f"encoder.interactions.{l}.conv.mlp.0.bias"] = np.asarray(st["f1b"][l])
-        sd[f"encoder.interactions.{l}.conv.mlp.2.weight"] = np.asarray(st["f2w"][l]).T
-        sd[f"encoder.interactions.{l}.conv.mlp.2.bias"] = np.asarray(st["f2b"][l])
-        sd[f"encoder.interactions.{l}.conv.lin1.weight"] = np.asarray(st["l1w"][l]).T
-        sd[f"encoder.interactions.{l}.conv.lin2.weight"] = np.asarray(st["l2w"][l]).T
-        sd[f"encoder.interactions.{l}.conv.lin2.bias"] = np.asarray(st["l2b"][l])
-        sd[f"encoder.interactions.{l}.lin.weight"] = np.asarray(st["ow"][l]).T
-        sd[f"encoder.interactions.{l}.lin.bias"] = np.asarray(st["ob"][l])
-    for i in range(3):
-        put_dense(f"grad_dist_mlp.layers.{i}", p["grad_dist_mlp"][f"layers_{i}"])
-    return sd
+# back-compat alias: the inverse mapping moved into data/convert.py so the
+# parity drill (tools/parity_drill.py) can synthesize reference checkpoints
+params_to_state_dict = condensenc_state_dict_from_params
 
 
 def test_state_dict_roundtrip_preserves_forward():

@@ -150,3 +150,26 @@ def test_training_improves_sampled_dmae():
     assert d_bf16 < 1.2 * d_trained + 0.05, (
         f"bf16 sampling degraded quality: f32 D-MAE {d_trained:.3f}, bf16 {d_bf16:.3f}"
     )
+
+    # int8 quantized packed kernel (the N=24-bucket bench config) must
+    # preserve sampling quality too: same gate as bf16.
+    from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
+
+    model_int8 = get_model(CFG).clone(fused_score=True, score_quant="int8")
+
+    def sample_int8(params, key):
+        settings = SamplingSettings(sampling_type="ddpm", n_steps=CFG.num_diffusion_timesteps)
+        res = dynamic_sampling(
+            make_ensemble_score_fn(model_int8, stack_params([params]), batch),
+            schedule,
+            jax.random.normal(key, batch.pos.shape),
+            batch.node_mask,
+            key,
+            settings,
+        )
+        return np.asarray(res.pos)
+
+    d_int8 = mean_dmae(sample_int8(state.params, jax.random.key(7)))
+    assert d_int8 < 1.2 * d_trained + 0.05, (
+        f"int8 sampling degraded quality: f32 D-MAE {d_trained:.3f}, int8 {d_int8:.3f}"
+    )

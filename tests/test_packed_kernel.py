@@ -214,3 +214,55 @@ def test_sampler_packed_equals_dense(setup):
     np.testing.assert_allclose(
         np.asarray(res_packed.pos), np.asarray(res_dense.pos), rtol=1e-4, atol=1e-5
     )
+
+
+def test_packed_int8_kernel_close_to_f32(setup):
+    """Int8 pair matmuls (per-row dynamic activation scales, per-tensor /
+    per-layer weight scales): packed scores within quantization tolerance of
+    the f32 XLA twin (interpret mode; device bf16 parity is itself ~1e-2)."""
+    from tsdiff_tpu.ops.packed_score_xla import packed_score_xla
+    from tsdiff_tpu.ops.pallas.condensed_score_packed import extract_weights_packed
+
+    model, params, batch = setup
+    pp = model.precompute_packed_pairs(batch.bond_mat, batch.node_mask)
+    z = model.apply(
+        params, batch.atom_type, batch.r_feat, batch.p_feat, batch.node_mask,
+        method="node_states",
+    )
+    info = model.build_packed_pair_info(jnp.asarray(batch.pos), batch.node_mask, pp)
+    xla_out = np.asarray(packed_score_xla(
+        extract_weights_packed(params), z, info.d_in, info.cmask,
+        pp.type_r_in, pp.type_p_in, pp.type_r_out, pp.type_p_out,
+        num_blocks=model.num_convs,
+    ), np.float64)
+    q = model.clone(score_quant="int8")
+    int8_out = np.asarray(q.apply(
+        params, jnp.asarray(batch.pos), batch.node_mask, z, pp,
+        method="score_step_packed", interpret=True,
+    ), np.float64)
+    rel = np.linalg.norm(int8_out - xla_out) / np.linalg.norm(xla_out)
+    assert rel < 2e-2, rel  # measured ~2.6e-3 at init scale
+
+
+def test_sampler_int8_close_to_dense(setup):
+    """End-to-end: short LD run with the int8 packed ensemble stays close to
+    the dense f32 path (same keys)."""
+    model, params, batch = setup
+    stacked = stack_params([params, params])
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    settings = SamplingSettings(sampling_type="ld", n_steps=4, step_lr=1e-6)
+    pos_init = jax.random.normal(jax.random.key(5), batch.pos.shape)
+
+    res_dense = dynamic_sampling(
+        make_ensemble_score_fn(model, stacked, batch),
+        schedule, pos_init, batch.node_mask, jax.random.key(9), settings,
+    )
+    quant = get_model(MODEL_CFG).clone(fused_score=True, score_quant="int8")
+    res_q = dynamic_sampling(
+        make_ensemble_score_fn(quant, stacked, batch),
+        schedule, pos_init, batch.node_mask, jax.random.key(9), settings,
+    )
+    assert not bool(res_q.nan_detected)
+    np.testing.assert_allclose(
+        np.asarray(res_q.pos), np.asarray(res_dense.pos), rtol=0, atol=5e-3
+    )

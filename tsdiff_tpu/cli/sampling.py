@@ -67,6 +67,9 @@ def main(argv=None):
     parser.add_argument("--fused_score", action="store_true", default=False,
                         help="fully-fused Pallas score kernel (condensenc + mlp edge encoder only; "
                              "fastest with --dtype bfloat16)")
+    parser.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                        help="with --fused_score: int8 pair matmuls (2x MXU rate on v5e; "
+                             "per-row dynamic activation scales, quality-gated vs bf16)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="'DP,ENS' device-mesh shape for multi-chip sampling, '1,1' to "
                              "disable, or 'auto' (default): ENS = gcd(#devices, #ckpts) with "
@@ -104,6 +107,9 @@ def main(argv=None):
     model_cfg = Config(cks[0]["config"]).model
     if args.fused_score:
         model_cfg.fused_score = True
+    if args.quant != "none":
+        assert args.fused_score, "--quant requires --fused_score"
+        model_cfg.score_quant = args.quant
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model = get_model(model_cfg, dtype=dtype)
     if args.fused_score and not hasattr(model, "fused_score"):

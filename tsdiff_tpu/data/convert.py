@@ -84,6 +84,44 @@ def condensenc_params_from_state_dict(state_dict: dict, num_convs: int) -> dict:
     return {"params": params}
 
 
+def condensenc_state_dict_from_params(params: dict, num_convs: int) -> dict:
+    """Inverse of :func:`condensenc_params_from_state_dict`: flax params ->
+    torch-style state_dict (numpy, torch (out, in) weight layout).
+
+    Used by the parity drill (tools/parity_drill.py) to synthesize
+    reference-format checkpoints with the real in-env torch, and by the
+    conversion roundtrip tests."""
+    p = params["params"] if "params" in params else params
+    sd = {}
+
+    def put_dense(prefix, d):
+        sd[f"{prefix}.weight"] = _t(d["Dense_0"]["kernel"])
+        if "bias" in d["Dense_0"]:
+            sd[f"{prefix}.bias"] = np.asarray(d["Dense_0"]["bias"])
+
+    sd["atom_embedding.weight"] = np.asarray(p["atom_embedding"]["embedding"])
+    sd["atom_feat_embedding.weight"] = _t(p["atom_feat_embedding"]["Dense_0"]["kernel"])
+    sd["edge_encoder.bond_emb.weight"] = np.asarray(p["edge_enc"]["bond_emb"]["embedding"])
+    put_dense("edge_encoder.mlp.layers.0", p["edge_enc"]["mlp"]["layers_0"])
+    put_dense("edge_encoder.mlp.layers.1", p["edge_enc"]["mlp"]["layers_1"])
+    put_dense("edge_cat.0", p["edge_cat"]["lin0"])
+    put_dense("edge_cat.2", p["edge_cat"]["lin1"])
+    st = p["encoder"]["stack"]
+    for l in range(num_convs):
+        sd[f"encoder.interactions.{l}.conv.mlp.0.weight"] = _t(st["f1w"][l])
+        sd[f"encoder.interactions.{l}.conv.mlp.0.bias"] = np.asarray(st["f1b"][l])
+        sd[f"encoder.interactions.{l}.conv.mlp.2.weight"] = _t(st["f2w"][l])
+        sd[f"encoder.interactions.{l}.conv.mlp.2.bias"] = np.asarray(st["f2b"][l])
+        sd[f"encoder.interactions.{l}.conv.lin1.weight"] = _t(st["l1w"][l])
+        sd[f"encoder.interactions.{l}.conv.lin2.weight"] = _t(st["l2w"][l])
+        sd[f"encoder.interactions.{l}.conv.lin2.bias"] = np.asarray(st["l2b"][l])
+        sd[f"encoder.interactions.{l}.lin.weight"] = _t(st["ow"][l])
+        sd[f"encoder.interactions.{l}.lin.bias"] = np.asarray(st["ob"][l])
+    for i in range(3):
+        put_dense(f"grad_dist_mlp.layers.{i}", p["grad_dist_mlp"][f"layers_{i}"])
+    return sd
+
+
 def dualenc_params_from_state_dict(state_dict: dict, config: dict) -> dict:
     """Reference DualEncoderEpsNetwork state_dict (numpy arrays) -> flax
     params pytree matching tsdiff_tpu/models/dualenc.py.

@@ -64,10 +64,17 @@ def make_packed_ensemble_eps_fn(model, stacked_params, batch: ReactionBatch):
     node states z and the weights are per-member (vmapped).
     """
     from tsdiff_tpu.core.packed import eq_transform_packed
-    from tsdiff_tpu.ops.pallas.condensed_score_packed import (
-        extract_weights_packed,
-        packed_score_pallas,
-    )
+
+    if getattr(model, "score_quant", None) == "int8":
+        from tsdiff_tpu.ops.pallas.condensed_score_packed_int8 import (
+            extract_weights_packed_int8 as extract_weights_packed,
+            packed_score_pallas_int8 as packed_score_pallas,
+        )
+    else:
+        from tsdiff_tpu.ops.pallas.condensed_score_packed import (
+            extract_weights_packed,
+            packed_score_pallas,
+        )
 
     pp = model.precompute_packed_pairs(batch.bond_mat, batch.node_mask)
     z_m = jax.vmap(

@@ -138,6 +138,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
     use_pallas: bool = False   # fused interaction-stack kernel (inference path)
     fused_score: bool = False  # fully-fused score_step kernel (sampling path)
     packed_train: bool = False  # offset-packed XLA forward in training (2x pair FLOPs)
+    score_quant: str | None = None  # "int8": quantized pair matmuls in the packed kernel
     dtype: jax.typing.DTypeLike | None = None
 
     @classmethod
@@ -161,6 +162,7 @@ class CondenseEncoderEpsNetwork(nn.Module):
             use_pallas=config.get("use_pallas", False),
             fused_score=config.get("fused_score", False),
             packed_train=config.get("packed_train", False),
+            score_quant=config.get("score_quant", None),
             dtype=dtype,
         )
 
@@ -337,10 +339,17 @@ class CondenseEncoderEpsNetwork(nn.Module):
         assert self.edge_encoder == "mlp", "packed score requires the MLP edge encoder"
         assert not self.smooth_conv, "packed score requires the hard cutoff"
         assert self.mlp_act == "swish" and self.edge_cat_act == "swish"
-        from tsdiff_tpu.ops.pallas.condensed_score_packed import (
-            extract_weights_packed,
-            packed_score_pallas,
-        )
+        if self.score_quant == "int8":
+            from tsdiff_tpu.ops.pallas.condensed_score_packed_int8 import (
+                extract_weights_packed_int8 as extract_weights_packed,
+                packed_score_pallas_int8 as packed_score_pallas,
+            )
+        else:
+            assert self.score_quant is None, f"unknown score_quant {self.score_quant}"
+            from tsdiff_tpu.ops.pallas.condensed_score_packed import (
+                extract_weights_packed,
+                packed_score_pallas,
+            )
 
         if pair_info is None:
             pair_info = self.build_packed_pair_info(pos, node_mask, pp)
