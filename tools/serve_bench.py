@@ -1,10 +1,20 @@
 """Serving-stack throughput benchmark (BENCH_NOTES.md serving section).
 
 Production model, birkholz size mix, through the full SamplerService
-request -> batch -> bucket -> sample path.  3 fixed-shape waves; the first
-compiles.  Usage: python tools/serve_bench.py  (real TPU).
+request -> batch -> bucket -> sample path.  Two scenarios:
+
+  * closed-loop: 3 identical 200-request waves (the first compiles) —
+    steady-state batch throughput;
+  * mixed load (--mixed): 200 requests arriving open-loop over ~20 s from 4
+    client threads with jittered sizes, measuring throughput AND per-request
+    latency percentiles under arrival jitter (tier splitting means partial
+    groups no longer pad to max_batch).
+
+Usage: python tools/serve_bench.py [--mixed] [--quant int8]  (real TPU).
 """
+import argparse
 import sys, time
+import threading
 import os
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path[:0] = [_ROOT]
@@ -18,6 +28,12 @@ from tsdiff_tpu.serve import SamplerService
 from bench import BIRKHOLZ_SIZES
 import tempfile
 
+parser = argparse.ArgumentParser()
+parser.add_argument("--mixed", action="store_true", default=False)
+parser.add_argument("--quant", type=str, default=None, choices=["int8"])
+parser.add_argument("--n_requests", type=int, default=200)
+args = parser.parse_args()
+
 d = tempfile.mkdtemp()
 cfg = _production_model_config()
 model = get_model(cfg)
@@ -29,7 +45,8 @@ save_checkpoint(ckpt, Config(model=cfg.to_dict()),
                 TrainState(params=params, opt_state=None, step=jnp.asarray(0)))
 
 svc = SamplerService([ckpt] * 8, n_steps=5000, dtype="bfloat16",
-                     fused_score=True, max_batch=100, max_wait_s=0.2)
+                     fused_score=True, quant=args.quant, max_batch=100,
+                     max_wait_s=0.2, max_pending=0)
 
 def make_graphs(n_graphs, rng):
     sizes = rng.choice(BIRKHOLZ_SIZES, size=n_graphs)
@@ -43,11 +60,44 @@ def make_graphs(n_graphs, rng):
                         bond_mat=np.asarray(b.bond_mat[0][:s, :s])))
     return out
 
-# fixed graph set: every wave sees identical (bucket, tier) shapes
-graphs = make_graphs(200, np.random.default_rng(1))
+N = args.n_requests
+# closed loop: fixed graph set, every wave sees identical (bucket, tier) shapes
+graphs = make_graphs(N, np.random.default_rng(1))
 for wave in range(3):
     t0 = time.perf_counter(); svc.generate(list(graphs))
     dt = time.perf_counter() - t0
-    print(f"wave {wave}: 200 samples in {dt:.1f}s = {200/dt:.2f} samples/s "
-          f"({200/dt/0.5:.1f}x baseline)", flush=True)
+    print(f"wave {wave}: {N} samples in {dt:.1f}s = {N/dt:.2f} samples/s "
+          f"({N/dt/0.5:.1f}x baseline)", flush=True)
+
+if args.mixed:
+    # open loop: 4 client threads, jittered arrivals over ~20 s, per-request
+    # latency measured submit -> result
+    lat = []
+    lock = threading.Lock()
+    t_open = time.perf_counter()
+
+    def client(cid):
+        rng = np.random.default_rng(100 + cid)
+        gs = make_graphs(N // 4, rng)
+        for g in gs:
+            time.sleep(float(rng.uniform(0.0, 0.8)))
+            t0 = time.perf_counter()
+            fut = svc.submit(g)
+            fut.result()
+            with lock:
+                lat.append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t_open
+    lat_ms = np.sort(np.asarray(lat))
+    n = len(lat_ms)
+    print(f"mixed load: {n} samples in {dt:.1f}s = {n/dt:.2f} samples/s "
+          f"({n/dt/0.5:.1f}x baseline); latency p50 {lat_ms[n//2]:.1f}s "
+          f"p95 {lat_ms[int(n*0.95)]:.1f}s max {lat_ms[-1]:.1f}s", flush=True)
+    print(f"stats: served {svc._served} timed_out {svc._timed_out} "
+          f"cancelled {svc._cancelled} rejected {svc._rejected}", flush=True)
 svc.close()

@@ -58,6 +58,7 @@ class SamplerService:
         clip: float = 1000.0,
         dtype: str = "bfloat16",
         fused_score: bool = False,
+        quant: str | None = None,
         use_ema: bool = False,
         max_batch: int = 32,
         max_wait_s: float = 0.05,
@@ -90,6 +91,9 @@ class SamplerService:
         model_cfg = Config(cks[0]["config"]).model
         if fused_score:
             model_cfg.fused_score = True
+        if quant is not None:
+            assert fused_score, "quant requires fused_score"
+            model_cfg.score_quant = quant
         self.model = get_model(
             model_cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else None
         )
