@@ -5,10 +5,10 @@ request -> batch -> bucket -> sample path.  Two scenarios:
 
   * closed-loop: 3 identical 200-request waves (the first compiles) —
     steady-state batch throughput;
-  * mixed load (--mixed): 200 requests arriving open-loop over ~20 s from 4
-    client threads with jittered sizes, measuring throughput AND per-request
-    latency percentiles under arrival jitter (tier splitting means partial
-    groups no longer pad to max_batch).
+  * interactive (--mixed): 4 blocking client threads with jittered think
+    time and sizes — per-request latency percentiles at light concurrency
+    (tier splitting means small groups run small compiled shapes instead of
+    padding to max_batch).
 
 Usage: python tools/serve_bench.py [--mixed] [--quant int8]  (real TPU).
 """
@@ -70,8 +70,8 @@ for wave in range(3):
           f"({N/dt/0.5:.1f}x baseline)", flush=True)
 
 if args.mixed:
-    # open loop: 4 client threads, jittered arrivals over ~20 s, per-request
-    # latency measured submit -> result
+    # interactive scenario: 4 blocking clients with jittered think time;
+    # measures per-request latency (submit -> result) at light concurrency
     lat = []
     lock = threading.Lock()
     t_open = time.perf_counter()
@@ -95,9 +95,13 @@ if args.mixed:
     dt = time.perf_counter() - t_open
     lat_ms = np.sort(np.asarray(lat))
     n = len(lat_ms)
-    print(f"mixed load: {n} samples in {dt:.1f}s = {n/dt:.2f} samples/s "
-          f"({n/dt/0.5:.1f}x baseline); latency p50 {lat_ms[n//2]:.1f}s "
-          f"p95 {lat_ms[int(n*0.95)]:.1f}s max {lat_ms[-1]:.1f}s", flush=True)
+    # NOTE: each client BLOCKS on its result, so this is an interactive
+    # (concurrency-4) latency scenario, not an open-loop throughput number —
+    # the per-request latency percentiles are the signal here
+    print(f"interactive (4 blocking clients): {n} samples in {dt:.1f}s "
+          f"({n/dt:.2f} samples/s at concurrency 4); latency p50 "
+          f"{lat_ms[n//2]:.1f}s p95 {lat_ms[int(n*0.95)]:.1f}s "
+          f"max {lat_ms[-1]:.1f}s", flush=True)
     print(f"stats: served {svc._served} timed_out {svc._timed_out} "
           f"cancelled {svc._cancelled} rejected {svc._rejected}", flush=True)
 svc.close()

@@ -80,6 +80,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # TSDIFF_COMPILE_CACHE env var
+
     from tsdiff_tpu.config import Config
     from tsdiff_tpu.core.graph import from_numpy_graphs
     from tsdiff_tpu.data import load_dataset

@@ -48,6 +48,10 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # TSDIFF_COMPILE_CACHE env var
+
     from tsdiff_tpu.config import load_config, Config
     from tsdiff_tpu.data import PaddedBatchLoader, TSDataset, inf_iterator
     from tsdiff_tpu.data.prefetch import Prefetcher

@@ -21,6 +21,29 @@ GAMMA_ATOM = {
 }
 
 
+def place_dihedral(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray,
+    bond: float, angle_deg: float, dih_deg: float,
+) -> np.ndarray:
+    """NeRF placement: the position of atom d given the a-b-c frame with
+    |c-d| = ``bond``, angle(b,c,d) = ``angle_deg`` and dihedral(a,b,c,d) =
+    ``dih_deg``.  Standard internal-coordinate reconstruction; used by the
+    template-rotamer baseline in the protein quality gate (build a sidechain
+    gamma atom at a canonical chi1 from the backbone frame)."""
+    a, b, c = (np.asarray(x, float) for x in (a, b, c))
+    bc = c - b
+    bc = bc / np.linalg.norm(bc)
+    n = np.cross(b - a, bc)
+    n = n / np.linalg.norm(n)
+    m = np.cross(n, bc)
+    ang = np.radians(180.0 - angle_deg)
+    dih = np.radians(dih_deg)
+    d2 = bond * np.array(
+        [np.cos(ang), np.sin(ang) * np.cos(dih), np.sin(ang) * np.sin(dih)]
+    )
+    return c + d2[0] * bc + d2[1] * m + d2[2] * n
+
+
 def chi1_quads(graph: dict) -> np.ndarray:
     """(n_chi, 4) atom indices [N, CA, CB, G] for every residue with a chi1.
 

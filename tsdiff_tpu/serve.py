@@ -419,7 +419,15 @@ def main(argv=None):
                         help="server-side default request deadline")
     parser.add_argument("--mesh", type=str, default="none",
                         help="DP,ENS device mesh (e.g. '4,2') or 'none'")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation cache dir (or set "
+                             "TSDIFF_COMPILE_CACHE): restarted servers skip "
+                             "the per-(bucket,tier) compiles")
     args = parser.parse_args(argv)
+
+    from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache(args.compile_cache)
 
     mesh = None
     if args.mesh != "none":
