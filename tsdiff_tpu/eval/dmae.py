@@ -100,9 +100,12 @@ def dmae_for_graph(graph: dict, pos_gen: np.ndarray, use_automorphisms: bool = T
     pos_gen = np.asarray(pos_gen)[:n]
     if not use_automorphisms:
         return calc_dmae(pos_ref, pos_gen)
-    bond = np.zeros((n, n), dtype=np.int64)
-    ei = np.asarray(graph["edge_index"])
-    bond[ei[0], ei[1]] = np.asarray(graph["edge_type"])
+    if "bond_mat" in graph:  # native tsdiff_tpu.v1 graphs carry the dense matrix
+        bond = np.asarray(graph["bond_mat"], dtype=np.int64)[:n, :n]
+    else:
+        bond = np.zeros((n, n), dtype=np.int64)
+        ei = np.asarray(graph["edge_index"])
+        bond[ei[0], ei[1]] = np.asarray(graph["edge_type"])
     autos = graph_automorphisms(bond, np.asarray(graph["atom_type"]))
     val, _ = get_min_dmae_match(pos_ref, pos_gen, autos)
     return val
