@@ -17,6 +17,10 @@ from tsdiff_tpu.data import save_dataset
 
 from test_data import make_graph_dicts
 
+# One chained workflow off a module-scoped workspace: later tests consume
+# earlier tests' artifacts, so the whole module is one integration unit.
+pytestmark = pytest.mark.heavy
+
 FEAT_DIM = 6
 
 

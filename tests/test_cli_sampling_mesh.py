@@ -56,6 +56,7 @@ def _run(root, out, mesh):
     ])
 
 
+@pytest.mark.heavy
 def test_cli_sampling_mesh_matches_unsharded(workspace):
     assert len(jax.devices()) >= 8, "conftest must provide the virtual 8-CPU mesh"
     p_single = _run(workspace, "out_single", "1,1")

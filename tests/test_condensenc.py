@@ -105,6 +105,7 @@ def test_antithetic_timesteps():
     np.testing.assert_array_equal(paired + t[sz:], 99)
 
 
+@pytest.mark.heavy
 def test_loss_finite_and_differentiable(model_and_params):
     model, params, batch = model_and_params
     schedule = DiffusionSchedule.from_config(MODEL_CFG)
@@ -122,6 +123,7 @@ def test_loss_finite_and_differentiable(model_and_params):
     assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
 
 
+@pytest.mark.heavy
 def test_forward_invariant_to_padding_amount():
     """Same graphs, different pad size -> identical real-region outputs
     (masking exactness: padded atoms must never leak into messages)."""

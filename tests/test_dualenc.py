@@ -94,6 +94,7 @@ def test_dualenc_forward(cfg):
     assert np.isfinite(np.asarray(eg)).all() and np.isfinite(np.asarray(el)).all()
 
 
+@pytest.mark.heavy
 def test_dual_losses_finite_and_decrease():
     rng = np.random.default_rng(1)
     batch = make_legacy_batch(rng, [5, 6, 7, 8], ts=True)
@@ -123,6 +124,7 @@ def test_dual_losses_finite_and_decrease():
     assert np.isfinite(float(loss2))
 
 
+@pytest.mark.heavy
 def test_dual_sampling_diffusion_and_dsm():
     rng = np.random.default_rng(4)
     batch = make_legacy_batch(rng, [5, 6], ts=True)

@@ -112,6 +112,7 @@ def test_encoder_registry():
     assert enc.num_interactions == 2
 
 
+@pytest.mark.heavy
 def test_dimenetpp_forward_and_invariance():
     rng = np.random.default_rng(2)
     node, pos, emask, attr, node_mask = _random_inputs(rng)

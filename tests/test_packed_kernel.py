@@ -94,6 +94,7 @@ def test_packed_pair_info_matches_dense_masks(setup):
     np.testing.assert_array_equal(np.asarray(info.m_eq), m_out)
 
 
+@pytest.mark.heavy
 def test_packed_ensemble_node_eq_matches_dense(setup):
     model, params, batch = setup
     members = [params]
@@ -165,6 +166,7 @@ def test_packed_xla_twin_matches_kernel(setup):
     )
 
 
+@pytest.mark.heavy
 def test_packed_train_loss_and_grads_match_dense(setup):
     """packed_train=True: identical loss and gradients to the dense objective
     (the 2x pair-FLOP training cut changes nothing numerically)."""
@@ -244,6 +246,7 @@ def test_packed_int8_kernel_close_to_f32(setup):
     assert rel < 2e-2, rel  # measured ~2.6e-3 at init scale
 
 
+@pytest.mark.heavy
 def test_sampler_int8_close_to_dense(setup):
     """End-to-end: short LD run with the int8 packed ensemble stays close to
     the dense f32 path (same keys)."""

@@ -229,6 +229,7 @@ def test_is_train_edge_mask():
     assert m[0, 0, 1].item() is True and m[0, 2, 0].item() is True
 
 
+@pytest.mark.heavy
 def test_dsm_loss_sidechain_mode():
     batch, sc = _protein_batch()
     model = get_model(CFG_DSM)
@@ -293,6 +294,7 @@ def test_cover_protein_with_subgraphs():
     assert covered[np.asarray(g["is_alpha"], bool)].all()
 
 
+@pytest.mark.heavy
 def test_accumulate_protein_eps():
     g = pdb_to_graph(_protein_chain(12, seed=2))
     model = get_model(CFG_DSM)
@@ -347,6 +349,7 @@ def test_write_pdb_roundtrip():
     np.testing.assert_array_equal(g2["edge_index"], g["edge_index"])
 
 
+@pytest.mark.heavy
 def test_protein_sampling_cli(tmp_path):
     """preprocessing --pdb_glob -> train-free ckpt -> protein_sampling CLI."""
     from tsdiff_tpu.cli import preprocessing, protein_sampling
@@ -404,6 +407,7 @@ def test_batch_carries_sidechain_mask():
     assert from_numpy_graphs([mol], max_nodes=32).is_sidechain is None
 
 
+@pytest.mark.heavy
 def test_train_cli_sidechain_mode(tmp_path):
     """Full protein training workflow: --pdb_glob dataset -> train CLI with
     dataset.type=sidechain -> checkpoint -> protein_sampling CLI."""
@@ -454,6 +458,7 @@ def test_covering_subgraphs_carry_center():
         assert not g["is_sidechain"][s["center"]]  # centers are alpha carbons
 
 
+@pytest.mark.heavy
 def test_protein_sampling_diffusion_mode():
     """Diffusion-mode protein sampling defaults to the FULL schedule and
     returns physical-frame, finite coordinates with the backbone exact."""

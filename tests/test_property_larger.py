@@ -1,6 +1,7 @@
 """Property tests at larger sizes + fused-score path through the sampler."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def test_graph_extension_oracle_n32():
         assert got == want
 
 
+@pytest.mark.heavy
 def test_fused_score_through_sampler_interpret(monkeypatch):
     """The fully-fused score path runs the whole sampling scan (interpret mode)."""
     import tsdiff_tpu.ops.pallas.condensed_score as cs
@@ -117,6 +119,7 @@ def test_sampling_deterministic_under_fixed_keys():
     np.testing.assert_array_equal(run(), run())
 
 
+@pytest.mark.heavy
 def test_dimenetpp_padding_invariance():
     from tsdiff_tpu.models.dimenetpp import DimeNetPPEncoder
 

@@ -22,6 +22,7 @@ from tsdiff_tpu.models.condensenc import _inference_only
 from test_condensenc import MODEL_CFG, make_batch
 
 
+@pytest.mark.heavy
 def test_fused_score_training_takes_xla_path():
     """A sampling config with fused_score=True must TRAIN identically to the
     XLA-path model instead of failing at pallas trace time (VERDICT weak #3)."""

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
@@ -13,6 +14,7 @@ from tsdiff_tpu.train import make_mesh, shard_batch, shard_ensemble_params
 from test_condensenc import MODEL_CFG, make_batch
 
 
+@pytest.mark.heavy
 def test_ensemble_sharded_sampling_matches_unsharded():
     """Members sharded over `ens`, batch over `dp`: identical final coords."""
     rng = np.random.default_rng(0)
@@ -89,14 +91,13 @@ def test_hybrid_mesh_shapes():
     assert m.devices.shape == (2, 1, 4)
 
 
+@pytest.mark.heavy
 def test_graft_entry_dryrun():
     """The driver's multi-chip dry run must pass on the virtual mesh."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
-
-import pytest
 
 
 @pytest.mark.slow

@@ -180,6 +180,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert it == 7 and path.endswith("7.orbax")
 
 
+@pytest.mark.heavy
 def test_dp_sharded_train_step_matches_single_device():
     """Same batch, sharded over an 8-way dp mesh vs unsharded: identical loss
     and identical updated params (XLA inserts the gradient psum)."""
