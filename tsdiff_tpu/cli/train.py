@@ -40,6 +40,12 @@ def main(argv=None):
                              "edge encoder; ~2x fewer pair-MLP FLOPs, parity-tested)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans: fail fast at the op producing a NaN")
+    parser.add_argument("--device_data", choices=["auto", "on", "off"], default="auto",
+                        help="device-resident corpus: upload the dataset to HBM once and "
+                             "assemble batches on device (zero steady-state host->device "
+                             "traffic; data/resident.py). auto = on when the packed corpus "
+                             "fits comfortably in HBM (<4 GB) and the dataset is not "
+                             "sidechain-streamed")
     args = parser.parse_args(argv)
 
     import jax
@@ -67,6 +73,8 @@ def main(argv=None):
         make_eval_step,
         make_mesh,
         make_optimizer,
+        make_resident_eval_step,
+        make_resident_train_step,
         make_train_step,
         replicate,
         save_checkpoint,
@@ -180,13 +188,45 @@ def main(argv=None):
     dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
     mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
 
-    # background packing + host->device transfer, overlapped with compute
-    train_iter = iter(
-        Prefetcher(
-            train_stream, depth=2,
-            transfer=lambda b: shard_batch(b, mesh),
+    # Input pipeline: device-resident corpus (upload once, zero steady-state
+    # host->device traffic — also sidesteps tunneled-client transfer-buffer
+    # leaks, data/resident.py) when it fits; else background packing +
+    # transfer overlapped with compute.
+    train_res = val_res = None
+    if args.device_data != "off" and not sidechain_mode:
+        from tsdiff_tpu.data.resident import DeviceResidentData
+        from tsdiff_tpu.parallel.sharding import replicated_spec
+
+        _put = lambda a: jax.device_put(a, replicated_spec(mesh))  # noqa: E731
+        train_res = DeviceResidentData(
+            train_set.graphs, config.train.batch_size,
+            bucket_sizes=bucket_sizes, seed=config.train.seed, put=_put,
         )
-    )
+        val_res = DeviceResidentData(
+            val_set.graphs, config.train.batch_size,
+            bucket_sizes=bucket_sizes, put=_put,
+        )
+        total_bytes = train_res.nbytes + val_res.nbytes
+        if args.device_data == "auto" and total_bytes > 4e9:
+            logger.info(
+                f"device_data auto: packed corpus {total_bytes/1e9:.1f} GB > 4 GB; "
+                "falling back to the streaming loader"
+            )
+            train_res = val_res = None
+        else:
+            logger.info(
+                f"device-resident corpus: {total_bytes/1e6:.0f} MB in HBM "
+                f"(train buckets {train_res.n_batches}, val buckets {val_res.n_batches})"
+            )
+    train_iter = None
+    if train_res is None:
+        # background packing + host->device transfer, overlapped with compute
+        train_iter = iter(
+            Prefetcher(
+                train_stream, depth=2,
+                transfer=lambda b: shard_batch(b, mesh),
+            )
+        )
     logger.info(f"Devices: {n_dev} -> mesh (dp={dp}, ens=1)")
     if dp < n_dev:
         logger.warning(
@@ -212,6 +252,17 @@ def main(argv=None):
     eval_step = make_eval_step(
         model, schedule, t0=t0, t1=t1, anneal_power=anneal_power
     )
+    if train_res is not None:
+        from tsdiff_tpu.parallel.sharding import batch_spec
+
+        bspec = batch_spec(mesh) if dp > 1 else None
+        res_train_step = make_resident_train_step(
+            train_step, config.train.batch_size, bspec
+        )
+        res_eval_step = make_resident_eval_step(
+            eval_step, config.train.batch_size, bspec
+        )
+        val_plans = {b: val_res.fixed_plan(b) for b in val_res.buckets}
     scheduler = get_scheduler(config.train.scheduler, config.train.optimizer.lr)
 
     # val loader probe: same feature dims, and doesn't consume the train stream
@@ -263,12 +314,24 @@ def main(argv=None):
 
     def validate(it: int) -> float:
         sum_loss, sum_n = 0.0, 0.0
-        for vi, batch in enumerate(val_loader):
-            ls, nn = eval_step(
-                state.params, shard_batch(batch, mesh), jax.random.key(10_000_000 + vi)
-            )
-            sum_loss += float(ls)
-            sum_n += float(nn)
+        if train_res is not None:
+            vi = 0
+            for b, arrs in val_res.buckets.items():
+                for ci in range(val_res.n_batches[b]):
+                    ls, nn = res_eval_step(
+                        state.params, arrs, val_plans[b], ci,
+                        jax.random.key(10_000_000 + vi),
+                    )
+                    sum_loss += float(ls)
+                    sum_n += float(nn)
+                    vi += 1
+        else:
+            for vi, batch in enumerate(val_loader):
+                ls, nn = eval_step(
+                    state.params, shard_batch(batch, mesh), jax.random.key(10_000_000 + vi)
+                )
+                sum_loss += float(ls)
+                sum_n += float(nn)
         avg = sum_loss / max(sum_n, 1.0)
         scheduler.step(avg)
         logger.info("[Validate] Iter %05d | Loss %.6f" % (it, avg))
@@ -287,19 +350,53 @@ def main(argv=None):
     key = jax.random.key(config.train.seed + 1)
     loss_sum = n_sum = grad_norm_sum = 0.0
     best_loss = float("inf")
+
+    if train_res is not None:
+        # device-resident loop state: static bucket schedule; per-epoch
+        # on-device plans; device cursors (wrap mod n_batches in-step) —
+        # nothing but the epoch integer ever crosses host->device.
+        schedule_seq = train_res.epoch_schedule()
+        epoch, pos_in_epoch = divmod(start_iter - 1, len(schedule_seq))
+        plans = {b: train_res.make_plan(b, epoch) for b in train_res.buckets}
+        cursors = {
+            b: jnp.asarray(
+                sum(1 for x in schedule_seq[:pos_in_epoch] if x == b), jnp.int32
+            )
+            for b in train_res.buckets
+        }
+        # LR as a device scalar refreshed only when the plateau controller
+        # moves (per-step host scalars would be a per-step transfer)
+        lr_host = scheduler.lr
+        lr_dev = jnp.asarray(lr_host, jnp.float32)
+
+        def do_step(k):
+            nonlocal pos_in_epoch, epoch, plans
+            b = schedule_seq[pos_in_epoch]
+            st, metrics, cursors[b] = res_train_step(
+                state, train_res.buckets[b], plans[b], cursors[b], k, lr_dev
+            )
+            pos_in_epoch += 1
+            if pos_in_epoch == len(schedule_seq):
+                pos_in_epoch = 0
+                epoch += 1
+                plans = {b2: train_res.make_plan(b2, epoch) for b2 in train_res.buckets}
+            return st, metrics
+    else:
+
+        def do_step(k):
+            batch = next(train_iter)
+            return train_step(state, batch, k, scheduler.lr)
+
     try:
         for it in range(start_iter, config.train.max_iters + 1):
             if timer is not None:
-                with timer.phase("data"):
-                    batch = next(train_iter)
                 key, k = jax.random.split(key)
                 with timer.phase("train_step"):
-                    state, metrics = train_step(state, batch, k, scheduler.lr)
+                    state, metrics = do_step(k)
                     _ = float(metrics["loss"])  # profile mode: true sync per step
             else:
-                batch = next(train_iter)
                 key, k = jax.random.split(key)
-                state, metrics = train_step(state, batch, k, scheduler.lr)
+                state, metrics = do_step(k)
             # accumulate ON DEVICE — forcing scalars here would synchronize
             # the host every step and serialize data packing with compute
             loss_sum = loss_sum + metrics["loss_sum"]
@@ -326,6 +423,9 @@ def main(argv=None):
                     )
                 loss_sum = n_sum = grad_norm_sum = 0.0
                 avg_val_loss = validate(it)
+                if train_res is not None and scheduler.lr != lr_host:
+                    lr_host = scheduler.lr
+                    lr_dev = jnp.asarray(lr_host, jnp.float32)
                 if avg_val_loss < best_loss:
                     best_loss = avg_val_loss
                     if args.ckpt_backend == "orbax":

@@ -16,6 +16,8 @@ from tsdiff_tpu.train.trainer import (  # noqa: F401
     restore_opt_state,
     make_eval_step,
     make_optimizer,
+    make_resident_eval_step,
+    make_resident_train_step,
     make_train_step,
     save_checkpoint,
 )

@@ -156,6 +156,40 @@ def make_train_step(
     return jax.jit(train_step)
 
 
+def make_resident_train_step(train_step, batch_size: int, batch_sharding=None):
+    """Wrap a jitted train step for the device-resident input pipeline
+    (data/resident.py): assemble the batch ON DEVICE from the resident
+    bucket arrays + plan at a device cursor, then run the step.  The
+    steady-state loop transfers nothing host->device.
+
+    Returns jitted (state, arrays, plan, cursor, key, lr) ->
+    (state, metrics, cursor+1)."""
+    from tsdiff_tpu.data.resident import gather_batch
+
+    def step(state, arrays, plan, cursor, key, lr):
+        batch = gather_batch(arrays, plan, cursor, batch_size)
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        state, metrics = train_step(state, batch, key, lr)
+        return state, metrics, cursor + 1
+
+    return jax.jit(step)
+
+
+def make_resident_eval_step(eval_step, batch_size: int, batch_sharding=None):
+    """Validation twin of :func:`make_resident_train_step`: gathers batch
+    ``cursor`` of the fixed plan and returns (loss_sum, n_nodes)."""
+    from tsdiff_tpu.data.resident import gather_batch
+
+    def step(params, arrays, plan, cursor, key):
+        batch = gather_batch(arrays, plan, cursor, batch_size)
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        return eval_step(params, batch, key)
+
+    return jax.jit(step)
+
+
 def make_eval_step(
     model, schedule: DiffusionSchedule, t0: int = 0, t1: int | None = None,
     anneal_power: float = 2.0,
