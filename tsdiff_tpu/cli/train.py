@@ -349,6 +349,7 @@ def main(argv=None):
 
     key = jax.random.key(config.train.seed + 1)
     loss_sum = n_sum = grad_norm_sum = 0.0
+    window_iters = 0  # iterations in the current log window (short on resume)
     best_loss = float("inf")
 
     if train_res is not None:
@@ -402,13 +403,14 @@ def main(argv=None):
             loss_sum = loss_sum + metrics["loss_sum"]
             n_sum = n_sum + metrics["n_nodes"]
             grad_norm_sum = grad_norm_sum + metrics["grad_norm"]
+            window_iters += 1
             if it % config.train.val_freq == 0 or it == config.train.max_iters:
                 loss_sum, n_sum, grad_norm_sum = (
                     float(loss_sum), float(n_sum), float(grad_norm_sum)
                 )
                 logger.info(
                     "[Train] Iter %05d | Loss %.2f | Grad %.2f | LR %.6f"
-                    % (it, loss_sum / max(n_sum, 1), grad_norm_sum / config.train.val_freq, scheduler.lr)
+                    % (it, loss_sum / max(n_sum, 1), grad_norm_sum / window_iters, scheduler.lr)
                 )
                 if use_wandb:
                     import wandb
@@ -417,11 +419,12 @@ def main(argv=None):
                         {
                             "train/loss": loss_sum / max(n_sum, 1),
                             "train/lr": scheduler.lr,
-                            "train/grad_norm": grad_norm_sum / config.train.val_freq,
+                            "train/grad_norm": grad_norm_sum / window_iters,
                         },
                         step=it,
                     )
                 loss_sum = n_sum = grad_norm_sum = 0.0
+                window_iters = 0
                 avg_val_loss = validate(it)
                 if train_res is not None and scheduler.lr != lr_host:
                     lr_host = scheduler.lr
