@@ -36,19 +36,26 @@ sys.path[:0] = [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
 
 
 def rank_checkpoints(run_dirs):
-    """[(val_loss, iteration, path)] sorted best-first, across all run dirs."""
+    """[(val_loss, iteration, path)] sorted best-first, across all run dirs.
+
+    A resumed run re-saves its starting checkpoint into the new dir (same
+    weights, fresh validation), so entries are deduped by iteration (best
+    val wins) — an ensemble member must be a distinct point on the
+    trajectory, not the same weights twice."""
     from tsdiff_tpu.train import load_checkpoint
 
-    ranked = []
+    by_iter = {}
     for d in run_dirs:
         for path in glob.glob(os.path.join(d, "checkpoints", "*.ckpt")):
             ck = load_checkpoint(path)
             val = ck.get("avg_val_loss")
             it = ck.get("iteration")
-            if val is not None:
-                ranked.append((float(val), int(it), path))
-    ranked.sort()
-    return ranked
+            if val is None:
+                continue
+            cand = (float(val), int(it), path)
+            if int(it) not in by_iter or cand < by_iter[int(it)]:
+                by_iter[int(it)] = cand
+    return sorted(by_iter.values())
 
 
 def main(argv=None):

@@ -26,6 +26,10 @@ import pickle
 import numpy as np
 
 
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def batching(items, batch_size, repeat_num=1):
     """Repeat each item repeat_num times, then chunk (reference sampling.py:26-43)."""
     expanded = []
@@ -194,16 +198,35 @@ def main(argv=None):
 
     buckets = default_buckets(max(int(g["atom_type"].shape[0]) for g in test_set))
 
-    def sample_batch(graphs: list[dict], clip: float):
-        # pad the batch to a multiple of dp (duplicates of the last reaction;
-        # dropped when unbatching) so the leading axis shards evenly
-        gpad = list(graphs)
-        if mesh is not None and len(gpad) % dp_axis:
-            gpad += [graphs[-1]] * (dp_axis - len(gpad) % dp_axis)
-        n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in gpad)
-        batch = from_numpy_graphs(gpad, max_nodes=n_pad)
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
+    # Batch-row tier ladder: halvings of batch_size (floor max(4, dp); every
+    # tier stays a multiple of dp so the leading axis shards evenly).  Every
+    # batch is padded up to a tier with duplicates of its last reaction
+    # (dropped at unbatching), so the whole campaign compiles at most
+    # len(ladder) x len(buckets) programs instead of one per distinct batch
+    # length, and padding waste is bounded at 2x on the tail batch.
+    dp_mult = dp_axis if mesh is not None else 1
+    base_tier = _ceil_to(args.batch_size, dp_mult)
+    tiers = [base_tier]
+    while (
+        tiers[-1] % 2 == 0
+        and tiers[-1] // 2 >= max(4, dp_mult)
+        and (tiers[-1] // 2) % dp_mult == 0
+    ):
+        tiers.append(tiers[-1] // 2)
+
+    def _tier(n: int) -> int:
+        return min((t for t in tiers if t >= n), default=base_tier)
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def get_runner(n_pad: int, n_rows: int, clip: float):
+        """One jitted sampling program per (bucket, tier, clip), compiled on
+        first use and reused for every later batch of the same shape — the
+        batch, stacked params, pos_init and key are all traced ARGUMENTS
+        (reference sampling.py re-traces nothing because torch is eager; a
+        naive per-batch jax.jit would recompile the 5000-step scan every
+        batch, ~2x the whole campaign's wall-clock)."""
         settings = SamplingSettings(
             sampling_type=args.sampling_type,
             n_steps=args.n_steps,
@@ -214,6 +237,65 @@ def main(argv=None):
             noise_from_time_t=args.noise_from_time_t,
             save_traj=args.save_traj,
         )
+        from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
+
+        if isinstance(model, DualEncoderEpsNetwork):
+            # legacy family: dual-branch eps with w_global gating; member-
+            # averaged eps via vmapped eps_fns
+            from tsdiff_tpu.diffusion.dual_objective import (
+                dsm_annealed_sampling,
+                dual_dynamic_sampling,
+                make_dual_eps_fn,
+            )
+            from tsdiff_tpu.diffusion.sampler import SampleResult
+
+            @jax.jit
+            def run(stacked, batch, pos_init, key):
+                def eps_fn(pos, gate, time_step=None):
+                    def member(p):
+                        return make_dual_eps_fn(model, p, batch, clip=clip)(
+                            pos, gate, time_step
+                        )
+
+                    return jnp.mean(jax.vmap(member)(stacked), axis=0)
+
+                if model.model_type == "dsm":
+                    pos, traj, nan = dsm_annealed_sampling(
+                        eps_fn, model.sigmas, pos_init, batch.node_mask, key,
+                        n_steps=args.n_steps, step_lr=args.step_lr,
+                        save_traj=args.save_traj,
+                    )
+                else:
+                    pos, traj, nan = dual_dynamic_sampling(
+                        eps_fn, schedule, pos_init, batch.node_mask, key, settings
+                    )
+                return SampleResult(pos=pos, traj=traj, nan_detected=nan)
+
+            return run, settings
+
+        # NOTE: the score closure must be built INSIDE the jitted function —
+        # built outside, its precomputed static features become giant HLO
+        # constants instead of traced computations.
+        @jax.jit
+        def run(stacked, batch, pos_init, key):
+            return dynamic_sampling(
+                make_ensemble_score_fn(model, stacked, batch),
+                schedule, pos_init, batch.node_mask, key, settings,
+            )
+
+        return run, settings
+
+    def sample_batch(graphs: list[dict], clip: float):
+        # pad the batch up to its row tier with duplicates of the last
+        # reaction (dropped when unbatching); a tier is always a multiple of
+        # dp when a mesh is active, so the leading axis shards evenly
+        gpad = list(graphs)
+        gpad += [graphs[-1]] * (_tier(len(gpad)) - len(gpad))
+        n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in gpad)
+        batch = from_numpy_graphs(gpad, max_nodes=n_pad)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        runner, settings = get_runner(n_pad, len(gpad), float(clip))
         if args.from_ts_guess:
             assert args.denoise_from_time_t is not None
             guess_key = "ts_guess" if "ts_guess" in gpad[0] else "pos"
@@ -237,51 +319,7 @@ def main(argv=None):
 
             pos_init = jax.device_put(pos_init, NamedSharding(mesh, P("dp")))
         key = jax.random.key(args.seed * 7919 + len(results))
-        from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
-
-        if isinstance(model, DualEncoderEpsNetwork):
-            # legacy family: dual-branch eps with w_global gating; member-
-            # averaged eps via vmapped eps_fns
-            from tsdiff_tpu.diffusion.dual_objective import (
-                dsm_annealed_sampling,
-                dual_dynamic_sampling,
-                make_dual_eps_fn,
-            )
-            from tsdiff_tpu.diffusion.sampler import SampleResult
-
-            def eps_fn(pos, gate, time_step=None):
-                def member(p):
-                    return make_dual_eps_fn(model, p, batch, clip=clip)(
-                        pos, gate, time_step
-                    )
-
-                return jnp.mean(jax.vmap(member)(stacked), axis=0)
-
-            if model.model_type == "dsm":
-                pos, traj, nan = jax.jit(
-                    lambda k: dsm_annealed_sampling(
-                        eps_fn, model.sigmas, pos_init, batch.node_mask, k,
-                        n_steps=args.n_steps, step_lr=args.step_lr,
-                        save_traj=args.save_traj,
-                    )
-                )(key)
-            else:
-                pos, traj, nan = jax.jit(
-                    lambda k: dual_dynamic_sampling(
-                        eps_fn, schedule, pos_init, batch.node_mask, k, settings
-                    )
-                )(key)
-            return batch, SampleResult(pos=pos, traj=traj, nan_detected=nan), settings
-
-        # NOTE: the score closure must be built INSIDE the jitted function —
-        # built outside, its precomputed static features become giant HLO
-        # constants instead of traced computations.
-        res = jax.jit(
-            lambda k: dynamic_sampling(
-                make_ensemble_score_fn(model, stacked, batch),
-                schedule, pos_init, batch.node_mask, k, settings,
-            )
-        )(key)
+        res = runner(stacked, batch, pos_init, key)
         return batch, res, settings
 
     from tqdm.auto import tqdm
