@@ -125,3 +125,49 @@ def test_dualenc_state_dict_roundtrip():
     out2 = model.apply(params2, batch.atom_type, batch.pos, batch.bond_mat, batch.node_mask)
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+def test_load_checkpoint_accepts_reference_pt(tmp_path):
+    """load_checkpoint auto-converts a reference torch .pt (zip container),
+    so the reference README's sampling command works on original artifacts
+    (reference train.py:220-231 checkpoint format)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import collections
+
+    from tsdiff_tpu.train.trainer import load_checkpoint
+
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, [5, 8])
+    model = get_model(MODEL_CFG)
+    params = model.init(
+        jax.random.key(0), batch.atom_type, batch.r_feat, batch.p_feat,
+        batch.pos, batch.bond_mat, batch.node_mask,
+    )
+    L = MODEL_CFG.encoder.num_convs
+    sd = collections.OrderedDict(
+        (k, torch.from_numpy(np.ascontiguousarray(v)))
+        for k, v in condensenc_state_dict_from_params(params, L).items()
+    )
+    pt = tmp_path / "3000.pt"
+    torch.save(
+        {"config": {"model": MODEL_CFG.to_dict()}, "model": sd,
+         "iteration": 3000, "avg_val_loss": 0.5},
+        str(pt),
+    )
+
+    ck = load_checkpoint(str(pt))
+    assert ck["format"] == "tsdiff_tpu.ckpt.v1"
+    assert ck["iteration"] == 3000
+    conv = dict(jax.tree_util.tree_leaves_with_path(ck["params"]))
+    for path, a in jax.tree_util.tree_leaves_with_path(params):
+        np.testing.assert_array_equal(np.asarray(a), conv[path], err_msg=str(path))
+
+    # the module CLI writes an equivalent checkpoint to disk
+    from tsdiff_tpu.data.convert import main as convert_main
+
+    out = tmp_path / "converted.ckpt"
+    convert_main(["ckpt", str(pt), str(out)])
+    ck2 = load_checkpoint(str(out))
+    assert ck2["iteration"] == 3000

@@ -293,3 +293,40 @@ def convert_reference_dataset(pkl_path: str, out_path: str) -> int:
         graphs.append(g)
     save_dataset(out_path, graphs)
     return len(graphs)
+
+
+def main(argv=None):
+    """``python -m tsdiff_tpu.data.convert`` — one-shot artifact conversion.
+
+    Subcommands mirror the two artifact kinds a reference user brings
+    (module docstring above); note the sampling CLI also accepts reference
+    ``.pt`` checkpoints directly (auto-converted on load), so explicit
+    conversion is only needed to keep a converted copy on disk.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    ck = sub.add_parser("ckpt", help="reference <iter>.pt -> tsdiff_tpu .ckpt")
+    ck.add_argument("pt_path")
+    ck.add_argument("out_path")
+    ds = sub.add_parser(
+        "dataset", help="reference PyG pickle -> tsdiff_tpu dataset "
+        "(requires torch_geometric)"
+    )
+    ds.add_argument("pkl_path")
+    ds.add_argument("out_path")
+    args = ap.parse_args(argv)
+    if args.cmd == "ckpt":
+        payload = convert_reference_checkpoint(args.pt_path, args.out_path)
+        print(
+            f"wrote {args.out_path}: iteration {payload['iteration']}, "
+            f"network {payload['config']['model'].get('network', 'condensenc')}"
+        )
+    else:
+        n = convert_reference_dataset(args.pkl_path, args.out_path)
+        print(f"wrote {args.out_path}: {n} graphs")
+
+
+if __name__ == "__main__":
+    main()

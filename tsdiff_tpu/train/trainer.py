@@ -285,11 +285,21 @@ def restore_opt_state(template, restored):
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load either backend: pickle file (default) or orbax directory."""
+    """Load any supported checkpoint: tsdiff_tpu pickle (default), orbax
+    directory, or a reference torch ``.pt`` file (reference train.py:220-231)
+    — the latter is converted in memory via the torch-free reader, so the
+    reference README's exact sampling command works against original
+    ``best_ckpt.pt`` artifacts with no conversion step."""
     if os.path.isdir(path):
         from tsdiff_tpu.train.orbax_io import load_checkpoint_orbax
 
         return load_checkpoint_orbax(path)
+    import zipfile
+
+    if zipfile.is_zipfile(path):  # torch>=1.6 zip container, never our pickle
+        from tsdiff_tpu.data.convert import convert_reference_checkpoint
+
+        return convert_reference_checkpoint(path)
     with open(path, "rb") as f:
         payload = pickle.load(f)
     assert payload.get("format") == "tsdiff_tpu.ckpt.v1", f"unknown checkpoint format in {path}"
