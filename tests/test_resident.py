@@ -89,6 +89,51 @@ def test_wire_format_guard():
         DeviceResidentData([g], batch_size=1, bucket_sizes=[2])
 
 
+def test_wire_format_guard_sparse_edges():
+    # the edge_index/edge_type input path must apply the same uint8 range
+    # check as the dense bond_mat path (no silent modulo-256 truncation)
+    g = {
+        "atom_type": np.asarray([1, 2], np.int32),
+        "r_feat": np.zeros((2, 4), np.float32),
+        "p_feat": np.zeros((2, 4), np.float32),
+        "pos": np.zeros((2, 3), np.float32),
+        "edge_index": np.asarray([[0, 1], [1, 0]], np.int32),
+        "edge_type": np.asarray([300, 300], np.int64),  # exceeds uint8
+    }
+    with pytest.raises(ValueError, match="uint8"):
+        DeviceResidentData([g], batch_size=1, bucket_sizes=[2])
+
+
+def test_corpus_too_large_raises_before_upload():
+    from tsdiff_tpu.data.resident import CorpusTooLarge
+
+    g = {
+        "atom_type": np.asarray([1, 2], np.int32),
+        "r_feat": np.zeros((2, 4), np.float32),
+        "p_feat": np.zeros((2, 4), np.float32),
+        "pos": np.zeros((2, 3), np.float32),
+        "bond_mat": np.zeros((2, 2), np.int64),
+    }
+    uploads = []
+
+    def counting_put(a):
+        uploads.append(a)
+        return jnp.asarray(a)
+
+    with pytest.raises(CorpusTooLarge):
+        DeviceResidentData(
+            [g], batch_size=1, bucket_sizes=[2], put=counting_put, max_bytes=8
+        )
+    assert uploads == [], "oversized corpus must not transfer a single array"
+
+    # within budget: uploads proceed and nbytes reports the packed size
+    res = DeviceResidentData(
+        [g], batch_size=1, bucket_sizes=[2], put=counting_put, max_bytes=10**9
+    )
+    assert len(uploads) == 7  # 6 bucket arrays + the PRNG base key
+    assert res.nbytes == sum(a.nbytes for a in uploads[:6])
+
+
 def _tiny_model_setup(graphs):
     from tsdiff_tpu.config import Config
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule

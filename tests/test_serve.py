@@ -266,6 +266,27 @@ def test_timeout_and_cancel(gated_service):
     assert all(n <= 1 for _, _, n in ran)
 
 
+def test_worker_survives_cancelled_expired_request(gated_service):
+    """A request that is BOTH client-cancelled and deadline-expired must not
+    kill the worker (set_exception on a cancelled future raises
+    InvalidStateError); later requests are still served."""
+    import time as _time
+
+    svc, gate, _, first = gated_service
+    rng = np.random.default_rng(12)
+    gs = make_graph_dicts(rng, [6, 6], feat_dim=FEAT)
+    f_both = svc.submit(gs[0], timeout_s=0.01)
+    assert f_both.cancel()
+    _time.sleep(0.05)  # deadline expires while the request is still queued
+    gate.set()
+    first.result(timeout=60)
+    assert f_both.cancelled()
+    # the worker thread is still alive and serving
+    f_after = svc.submit(gs[1])
+    assert f_after.result(timeout=60)["pos_gen"].shape == (6, 3)
+    assert svc._worker.is_alive()
+
+
 def test_close_drains_queued_requests(tiny_ckpt, monkeypatch):
     ran = []
 

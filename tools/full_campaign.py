@@ -46,7 +46,11 @@ def rank_checkpoints(run_dirs):
 
     by_iter = {}
     for d in run_dirs:
-        for path in glob.glob(os.path.join(d, "checkpoints", "*.ckpt")):
+        # both backends: <iter>.ckpt pickle files and <iter>.orbax directories
+        paths = glob.glob(os.path.join(d, "checkpoints", "*.ckpt")) + glob.glob(
+            os.path.join(d, "checkpoints", "*.orbax")
+        )
+        for path in paths:
             ck = load_checkpoint(path)
             val = ck.get("avg_val_loss")
             it = ck.get("iteration")

@@ -40,6 +40,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # TSDIFF_COMPILE_CACHE: reruns skip compiles
+
     from __graft_entry__ import _production_model_config, _random_batch
     from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
     from tsdiff_tpu.diffusion.sampler import SamplingSettings, dynamic_sampling

@@ -204,15 +204,11 @@ def main(argv=None):
     # (dropped at unbatching), so the whole campaign compiles at most
     # len(ladder) x len(buckets) programs instead of one per distinct batch
     # length, and padding waste is bounded at 2x on the tail batch.
+    from tsdiff_tpu.data.dataset import tier_ladder
+
     dp_mult = dp_axis if mesh is not None else 1
     base_tier = _ceil_to(args.batch_size, dp_mult)
-    tiers = [base_tier]
-    while (
-        tiers[-1] % 2 == 0
-        and tiers[-1] // 2 >= max(4, dp_mult)
-        and (tiers[-1] // 2) % dp_mult == 0
-    ):
-        tiers.append(tiers[-1] // 2)
+    tiers = tier_ladder(base_tier, dp_mult)
 
     def _tier(n: int) -> int:
         return min((t for t in tiers if t >= n), default=base_tier)

@@ -194,28 +194,31 @@ def main(argv=None):
     # transfer overlapped with compute.
     train_res = val_res = None
     if args.device_data != "off" and not sidechain_mode:
-        from tsdiff_tpu.data.resident import DeviceResidentData
+        from tsdiff_tpu.data.resident import CorpusTooLarge, DeviceResidentData
         from tsdiff_tpu.parallel.sharding import replicated_spec
 
         _put = lambda a: jax.device_put(a, replicated_spec(mesh))  # noqa: E731
-        train_res = DeviceResidentData(
-            train_set.graphs, config.train.batch_size,
-            bucket_sizes=bucket_sizes, seed=config.train.seed, put=_put,
-        )
-        val_res = DeviceResidentData(
-            val_set.graphs, config.train.batch_size,
-            bucket_sizes=bucket_sizes, put=_put,
-        )
-        total_bytes = train_res.nbytes + val_res.nbytes
-        if args.device_data == "auto" and total_bytes > 4e9:
-            logger.info(
-                f"device_data auto: packed corpus {total_bytes/1e9:.1f} GB > 4 GB; "
-                "falling back to the streaming loader"
+        # auto: enforce the HBM budget BEFORE any upload (the size check is
+        # host-side; an oversized corpus must not transfer — or, on leaky
+        # tunneled clients, leak — gigabytes before falling back)
+        budget = int(4e9) if args.device_data == "auto" else None
+        try:
+            train_res = DeviceResidentData(
+                train_set.graphs, config.train.batch_size,
+                bucket_sizes=bucket_sizes, seed=config.train.seed, put=_put,
+                max_bytes=budget,
             )
+            val_res = DeviceResidentData(
+                val_set.graphs, config.train.batch_size,
+                bucket_sizes=bucket_sizes, put=_put,
+                max_bytes=None if budget is None else budget - train_res.nbytes,
+            )
+        except CorpusTooLarge as e:
+            logger.info(f"device_data auto: {e}; falling back to the streaming loader")
             train_res = val_res = None
         else:
             logger.info(
-                f"device-resident corpus: {total_bytes/1e6:.0f} MB in HBM "
+                f"device-resident corpus: {(train_res.nbytes + val_res.nbytes)/1e6:.0f} MB in HBM "
                 f"(train buckets {train_res.n_batches}, val buckets {val_res.n_batches})"
             )
     train_iter = None
@@ -384,16 +387,25 @@ def main(argv=None):
             return st, metrics
     else:
 
-        def do_step(k):
-            batch = next(train_iter)
+        def do_step(k, batch=None):
+            if batch is None:
+                batch = next(train_iter)
             return train_step(state, batch, k, scheduler.lr)
 
     try:
         for it in range(start_iter, config.train.max_iters + 1):
             if timer is not None:
                 key, k = jax.random.split(key)
+                batch = None
+                if train_res is None:
+                    # time the host fetch separately so input-pipeline stalls
+                    # aren't misattributed to device compute
+                    with timer.phase("data"):
+                        batch = next(train_iter)
                 with timer.phase("train_step"):
-                    state, metrics = do_step(k)
+                    state, metrics = (
+                        do_step(k) if batch is None else do_step(k, batch)
+                    )
                     _ = float(metrics["loss"])  # profile mode: true sync per step
             else:
                 key, k = jax.random.split(key)

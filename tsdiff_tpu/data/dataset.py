@@ -102,6 +102,17 @@ def default_buckets(max_nodes: int, multiple: int = 8) -> list[int]:
     return list(range(multiple, top + 1, multiple))
 
 
+def tier_ladder(base: int, dp: int = 1) -> list[int]:
+    """Descending batch-row tiers: ``base`` halved (floor) while the result
+    stays >= max(4, dp) AND a multiple of dp — every tier must shard evenly
+    over the dp mesh axis.  Shared by the sampling CLI and the serving
+    batcher so the sharding invariant lives in one place."""
+    ladder = [int(base)]
+    while ladder[-1] // 2 >= max(4, dp) and (ladder[-1] // 2) % dp == 0:
+        ladder.append(ladder[-1] // 2)
+    return ladder
+
+
 class PaddedBatchLoader:
     """Yield fixed-shape ReactionBatches, bucketed by graph size.
 

@@ -51,6 +51,13 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+class CorpusTooLarge(Exception):
+    """Packed corpus exceeds the caller's ``max_bytes`` budget.  Raised
+    BEFORE any device upload so the caller can fall back to streaming
+    without having transferred (and, on leaky tunneled clients, leaked)
+    gigabytes first."""
+
+
 class DeviceResidentData:
     """Per-bucket device-resident corpus with on-device batch plans.
 
@@ -66,7 +73,7 @@ class DeviceResidentData:
     """
 
     def __init__(self, graphs, batch_size: int, bucket_sizes=None, seed: int = 0,
-                 put=None):
+                 put=None, max_bytes: int | None = None):
         if len(graphs) == 0:
             raise ValueError("empty corpus")
         put = put or jnp.asarray
@@ -82,8 +89,10 @@ class DeviceResidentData:
             n = int(np.asarray(g["atom_type"]).shape[0])
             by_bucket[pick_bucket(n, self.bucket_sizes)].append(g)
 
-        # host-side packing, one pass, then a single device_put per array
-        self.buckets: dict[int, dict[str, jax.Array]] = {}
+        # host-side packing, one pass; device upload only after the whole
+        # corpus is packed and (if max_bytes is set) confirmed to fit — an
+        # oversized corpus must not transfer a byte (CorpusTooLarge)
+        host_buckets: dict[int, dict[str, np.ndarray]] = {}
         self.n_graphs: dict[int, int] = {}
         self.n_batches: dict[int, int] = {}
         for bsize, gs in by_bucket.items():
@@ -120,18 +129,33 @@ class DeviceResidentData:
                 else:
                     ei = np.asarray(g["edge_index"])
                     et = np.asarray(g["edge_type"])
+                    if et.max(initial=0) > 255:
+                        raise ValueError("bond types exceed uint8 wire format")
                     bond[i, ei[0], ei[1]] = et
                 mask[i, :n] = True
-            self.buckets[bsize] = {
-                "atom_type": put(atom),
-                "r_feat": put(rf),
-                "p_feat": put(pf),
-                "pos": put(pos),
-                "bond_mat": put(bond),
-                "node_mask": put(mask),
+            host_buckets[bsize] = {
+                "atom_type": atom,
+                "r_feat": rf,
+                "p_feat": pf,
+                "pos": pos,
+                "bond_mat": bond,
+                "node_mask": mask,
             }
             self.n_graphs[bsize] = M
             self.n_batches[bsize] = _ceil_div(M, self.batch_size)
+
+        self._nbytes = sum(
+            a.nbytes for arrs in host_buckets.values() for a in arrs.values()
+        )
+        if max_bytes is not None and self._nbytes > max_bytes:
+            raise CorpusTooLarge(
+                f"packed corpus is {self._nbytes / 1e9:.2f} GB "
+                f"(> {max_bytes / 1e9:.2f} GB budget)"
+            )
+        self.buckets: dict[int, dict[str, jax.Array]] = {
+            bsize: {k: put(a) for k, a in arrs.items()}
+            for bsize, arrs in host_buckets.items()
+        }
 
         # Derive the base key data on the CPU backend: creating the key on
         # the accelerator and reading it back is a device->host round-trip
@@ -147,11 +171,7 @@ class DeviceResidentData:
 
     @property
     def nbytes(self) -> int:
-        return sum(
-            int(a.size) * a.dtype.itemsize
-            for arrs in self.buckets.values()
-            for a in arrs.values()
-        )
+        return self._nbytes
 
     def epoch_schedule(self) -> list[int]:
         """Static bucket sequence for one epoch — one entry per batch,

@@ -139,6 +139,10 @@ class SamplerService:
         self._cancelled = 0
         self._rejected = 0
         self._closed = False
+        # serializes the closed-check+enqueue in submit() against close()
+        # setting _closed, so no request can land behind the shutdown
+        # sentinel (its future would never resolve)
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -154,21 +158,22 @@ class SamplerService:
         with ``future.cancel()`` — it then never occupies a batch slot."""
         import numpy as np
 
-        if self._closed:
-            raise RuntimeError("service closed")
         fut: Future = Future()
         n = int(np.asarray(graph["atom_type"]).shape[0])
         if timeout_s is None:
             timeout_s = self.default_timeout_s
         deadline = time.monotonic() + timeout_s if timeout_s is not None else None
         req = _Request(graph=graph, future=fut, n_atoms=n, deadline=deadline)
-        try:
-            self._q.put_nowait(req)
-        except queue.Full:
-            self._rejected += 1
-            raise ServiceOverloaded(
-                f"request queue full ({self._q.maxsize} pending)"
-            ) from None
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("service closed")
+            try:
+                self._q.put_nowait(req)
+            except queue.Full:
+                self._rejected += 1
+                raise ServiceOverloaded(
+                    f"request queue full ({self._q.maxsize} pending)"
+                ) from None
         return fut
 
     def generate(self, graphs: list[dict], timeout_s: float | None = None) -> list[dict]:
@@ -187,9 +192,12 @@ class SamplerService:
     def close(self, drain: bool = True):
         """Stop the worker.  ``drain=True`` (default) serves every request
         already queued before returning; ``drain=False`` cancels them."""
-        if self._closed:
-            return
-        self._closed = True
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+        # past this point no submit() can enqueue (closed-check is under the
+        # same lock), so the flush and sentinel below see the final queue
         if not drain:
             # flush: cancel everything still queued (FIFO order preserved so
             # the sentinel lands after the flush)
@@ -242,13 +250,18 @@ class SamplerService:
                 now = time.monotonic()
                 live = []
                 for r in group:
-                    if r.deadline is not None and now > r.deadline:
+                    # cancellation check FIRST: set_exception on a future the
+                    # client already cancelled raises InvalidStateError and
+                    # would kill the worker thread.  After a successful
+                    # set_running_or_notify_cancel the future is RUNNING and
+                    # set_exception is legal.
+                    if not r.future.set_running_or_notify_cancel():
+                        self._cancelled += 1
+                    elif r.deadline is not None and now > r.deadline:
                         self._timed_out += 1
                         r.future.set_exception(
                             TimeoutError("request deadline expired in queue")
                         )
-                    elif not r.future.set_running_or_notify_cancel():
-                        self._cancelled += 1
                     else:
                         live.append(r)
                 # split the group into tier-sized chunks (a 54-request group
@@ -265,16 +278,11 @@ class SamplerService:
                                 r.future.set_exception(e)
 
     def _tier_ladder(self) -> list[int]:
-        """Descending batch tiers: max_batch halved while the result stays
-        >= max(4, dp) AND a multiple of dp (shard_batch over the dp axis
-        needs every tier divisible by dp)."""
-        ladder = [self.max_batch]
-        while (
-            ladder[-1] // 2 >= max(4, self._dp)
-            and (ladder[-1] // 2) % self._dp == 0
-        ):
-            ladder.append(ladder[-1] // 2)
-        return ladder
+        """Descending batch tiers (shared invariant: data/dataset.py
+        ``tier_ladder`` — every tier a multiple of dp, floor max(4, dp))."""
+        from tsdiff_tpu.data.dataset import tier_ladder
+
+        return tier_ladder(self.max_batch, self._dp)
 
     def _plan_tiers(self, n: int) -> list[int]:
         """Tier sizes whose chunks cover ``n`` requests, minimizing padded
