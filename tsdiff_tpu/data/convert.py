@@ -9,7 +9,9 @@ A user switching from the PyTorch reference brings two kinds of artifacts:
     :mod:`tsdiff_tpu.data.torch_reader` (stdlib zipfile + a restricted
     unpickler that materializes tensor storages as numpy);
   * PyG dataset pickles (lists of torch_geometric Data) — convert with
-    :func:`convert_reference_dataset` (requires torch_geometric).
+    :func:`convert_reference_dataset`; torch_geometric and rdkit are NOT
+    required (absent modules are stubbed for unpickling via
+    :mod:`tsdiff_tpu.data.pyg_compat`).
 
 Name mapping for CondenseEncoderEpsNetwork (torch Linear weights are
 (out, in) and transpose to jax kernels (in, out)):
@@ -266,33 +268,44 @@ def _plain(obj):
 def convert_reference_dataset(pkl_path: str, out_path: str) -> int:
     """Convert a reference PyG dataset pickle to the tsdiff_tpu format.
 
-    Requires torch_geometric (to unpickle Data objects).  Returns the number
-    of graphs written.
+    torch_geometric and rdkit are NOT required: absent modules are stubbed
+    for unpickling (:mod:`tsdiff_tpu.data.pyg_compat`; torch itself is
+    needed for the embedded tensor storages).  Works on dataset pickles and
+    on the reference's ``samples_all.pkl`` sampling outputs alike.  Returns
+    the number of graphs written.
     """
-    import pickle
-
     from tsdiff_tpu.data.dataset import save_dataset
+    from tsdiff_tpu.data.pyg_compat import load_pyg_pickle
 
-    with open(pkl_path, "rb") as f:
-        data_list = pickle.load(f)
+    graphs = graphs_from_pyg_list(load_pyg_pickle(pkl_path))
+    save_dataset(out_path, graphs)
+    return len(graphs)
+
+
+def graphs_from_pyg_list(data_list) -> list[dict]:
+    """PyG ``Data`` objects (real or :mod:`pyg_compat` stubs) -> native
+    numpy graph dicts.  Field mapping per reference utils/datasets.py
+    (generate_ts_data2 output): atom_type, r_feat/p_feat one-hots, pos,
+    condensed edge_index/edge_type; optional positions carried through."""
+    from tsdiff_tpu.data.pyg_compat import data_attrs
 
     graphs = []
     for d in data_list:
+        a = data_attrs(d)
         g = dict(
-            atom_type=np.asarray(d.atom_type, dtype=np.int32),
-            r_feat=np.asarray(d.r_feat, dtype=np.float32),
-            p_feat=np.asarray(d.p_feat, dtype=np.float32),
-            pos=np.asarray(d.pos, dtype=np.float32),
-            edge_index=np.asarray(d.edge_index, dtype=np.int32),
-            edge_type=np.asarray(d.edge_type, dtype=np.int32),
-            smiles=getattr(d, "smiles", None),
+            atom_type=np.asarray(a["atom_type"], dtype=np.int32),
+            r_feat=np.asarray(a["r_feat"], dtype=np.float32),
+            p_feat=np.asarray(a["p_feat"], dtype=np.float32),
+            pos=np.asarray(a["pos"], dtype=np.float32),
+            edge_index=np.asarray(a["edge_index"], dtype=np.int32),
+            edge_type=np.asarray(a["edge_type"], dtype=np.int32),
+            smiles=a.get("smiles"),
         )
         for opt in ("ts_guess", "pos_r", "pos_p", "pos_gen"):
-            if hasattr(d, opt):
-                g[opt] = np.asarray(getattr(d, opt), dtype=np.float32)
+            if opt in a:
+                g[opt] = np.asarray(a[opt], dtype=np.float32)
         graphs.append(g)
-    save_dataset(out_path, graphs)
-    return len(graphs)
+    return graphs
 
 
 def main(argv=None):
@@ -312,7 +325,7 @@ def main(argv=None):
     ck.add_argument("out_path")
     ds = sub.add_parser(
         "dataset", help="reference PyG pickle -> tsdiff_tpu dataset "
-        "(requires torch_geometric)"
+        "(torch_geometric/rdkit not needed; torch is)"
     )
     ds.add_argument("pkl_path")
     ds.add_argument("out_path")

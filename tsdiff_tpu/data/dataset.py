@@ -41,16 +41,35 @@ def save_dataset(path: str, graphs: list[dict], feat_dict=None, extra: dict | No
 
 
 def load_dataset(path: str) -> tuple[list[dict], dict | None]:
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+    except (ImportError, AttributeError):
+        # a reference PyG pickle references torch_geometric/rdkit at
+        # unpickle time — retry with the stand-in modules installed
+        payload = None
+    if payload is None:
+        from tsdiff_tpu.data.pyg_compat import load_pyg_pickle
+
+        payload = load_pyg_pickle(path)
     if isinstance(payload, dict) and payload.get("format") == FORMAT_TAG:
         return payload["graphs"], payload.get("feat_dict")
-    if isinstance(payload, list) and payload and isinstance(payload[0], dict):
-        return payload, None
-    raise ValueError(
-        f"{path}: not a tsdiff_tpu dataset. Reference PyG pickles must be "
-        "converted first (tsdiff_tpu/data/convert.py, requires torch_geometric)."
-    )
+    if isinstance(payload, list) and payload:
+        if isinstance(payload[0], dict):
+            return payload, None
+        # list of PyG Data objects (reference dataset / samples_all.pkl):
+        # convert in memory, same policy as reference .pt checkpoints
+        from tsdiff_tpu.data.convert import graphs_from_pyg_list
+
+        try:
+            return graphs_from_pyg_list(payload), None
+        except (KeyError, TypeError) as e:
+            raise ValueError(
+                f"{path}: looks like a PyG pickle but is missing reaction "
+                f"fields ({e}); convert explicitly with "
+                "python -m tsdiff_tpu.data.convert dataset"
+            ) from None
+    raise ValueError(f"{path}: not a tsdiff_tpu or reference PyG dataset.")
 
 
 class TSDataset:
