@@ -21,6 +21,7 @@ from tsdiff_tpu.data.pyg_compat import (
     data_attrs,
     install_pyg_stubs,
     load_pyg_pickle,
+    uninstall_pyg_stubs,
 )
 
 REF_SAMPLES = "/root/reference/birkholz_benchmark/rxn_0/samples_all.pkl"
@@ -28,8 +29,11 @@ REF_FEAT_DICT = "/root/reference/data/TS/wb97xd3/feat_dict.pkl"
 
 
 def _fake_pyg_pickle(path, n_graphs=3, with_store=False):
-    """Write a pickle that unpickles through torch_geometric.data.Data —
-    built from the same stub classes, so the test needs no real PyG."""
+    """Write a pickle whose payload pickles AS ``torch_geometric.data.data
+    .Data`` (StubData claims that identity), then UNINSTALL the stubs — so
+    loading it exercises the exact path real reference pickles take: plain
+    unpickle fails with ModuleNotFoundError, the retry installs the stubs,
+    and the global resolves through the stub module wiring."""
     import torch
 
     install_pyg_stubs()
@@ -59,6 +63,7 @@ def _fake_pyg_pickle(path, n_graphs=3, with_store=False):
         data_list.append(d)
     with open(path, "wb") as f:
         pickle.dump(data_list, f)
+    uninstall_pyg_stubs()
 
 
 def test_stub_unpickle_and_load_dataset(tmp_path):
@@ -105,6 +110,34 @@ def test_stubs_do_not_shadow_real_modules():
         import sys
 
         assert getattr(sys.modules[name], "__tsdiff_tpu_stub__", False)
+    uninstall_pyg_stubs()
+
+
+def test_stubs_are_transient_and_do_not_poison_probes(tmp_path):
+    """load_pyg_pickle must remove the stand-in modules afterwards, and a
+    lingering stub must never convince availability probes that rdkit is
+    installed (it would break the gated featurization/clustering paths)."""
+    import sys
+
+    from tsdiff_tpu.chem import have_rdkit
+
+    before = have_rdkit()
+    p = tmp_path / "pyg.pkl"
+    _fake_pyg_pickle(str(p), n_graphs=1)
+    assert "rdkit" not in sys.modules or not getattr(
+        sys.modules["rdkit"], "__tsdiff_tpu_stub__", False
+    )
+    load_pyg_pickle(str(p))
+    # stubs uninstalled after the load; probe unchanged
+    assert not getattr(sys.modules.get("rdkit"), "__tsdiff_tpu_stub__", False)
+    assert have_rdkit() == before
+    # even WITH stubs force-installed, the probe rejects the stand-in
+    installed = install_pyg_stubs()
+    try:
+        if any(n == "rdkit" for n in installed):
+            assert have_rdkit() is False
+    finally:
+        uninstall_pyg_stubs()
 
 
 def test_non_dataset_pickle_still_rejected(tmp_path):
@@ -113,6 +146,38 @@ def test_non_dataset_pickle_still_rejected(tmp_path):
         pickle.dump({"not": "a dataset"}, f)
     with pytest.raises(ValueError, match="not a tsdiff_tpu"):
         load_dataset(str(p))
+
+
+def test_evaluate_cli_accepts_pyg_samples(tmp_path, capsys):
+    """The evaluate CLI scores reference-format PyG sample pickles directly
+    (pos_gen vs pos under automorphism-matched D-MAE)."""
+    import torch
+
+    from tsdiff_tpu.cli import evaluate as evaluate_cli
+
+    install_pyg_stubs()
+    rng = np.random.default_rng(3)
+    data_list = []
+    for _ in range(2):
+        pos = rng.normal(size=(5, 3)).astype(np.float32)
+        d = StubData()
+        d.__dict__.update(
+            atom_type=torch.tensor([6, 6, 1, 1, 1]),
+            r_feat=torch.tensor(rng.integers(0, 2, (5, 25))),
+            p_feat=torch.tensor(rng.integers(0, 2, (5, 25))),
+            pos=torch.tensor(pos),
+            pos_gen=torch.tensor(pos + rng.normal(scale=0.05, size=(5, 3)).astype(np.float32)),
+            edge_index=torch.tensor([[0, 1], [1, 0]]),
+            edge_type=torch.tensor([23, 23]),
+        )
+        data_list.append(d)
+    p = tmp_path / "ref_samples.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(data_list, f)
+    uninstall_pyg_stubs()
+    evaluate_cli.main(["--samples", str(p)])
+    out = capsys.readouterr().out
+    assert "2 samples evaluated" in out and "D-MAE" in out
 
 
 @pytest.mark.skipif(
@@ -154,11 +219,14 @@ def test_real_feat_dict_layout_parity():
     """The production feat_dict's one-hot layout sums to exactly the
     feat_dim the production config declares (25) and is consumable by our
     one_hot_features (reference preprocessing.py:152-164)."""
-    install_pyg_stubs()
     import torch  # noqa: F401  (tensor-free pickle, but keep import order)
 
-    with open(REF_FEAT_DICT, "rb") as f:
-        fd = pickle.load(f)
+    install_pyg_stubs()
+    try:
+        with open(REF_FEAT_DICT, "rb") as f:
+            fd = pickle.load(f)
+    finally:
+        uninstall_pyg_stubs()
     widths = {k: len(v) for k, v in fd.items()}
     assert sum(widths.values()) == 25
     # same getter set our featurizer emits, in the reference's order

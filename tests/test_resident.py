@@ -134,6 +134,61 @@ def test_corpus_too_large_raises_before_upload():
     assert res.nbytes == sum(a.nbytes for a in uploads[:6])
 
 
+def test_deferred_upload_checks_combined_budget():
+    """upload=False packs host-side only; the train CLI inspects the
+    COMBINED train+val size against the budget before either corpus
+    transfers a byte, then calls .upload() on both."""
+    g = {
+        "atom_type": np.asarray([1, 2], np.int32),
+        "r_feat": np.zeros((2, 4), np.float32),
+        "p_feat": np.zeros((2, 4), np.float32),
+        "pos": np.zeros((2, 3), np.float32),
+        "bond_mat": np.zeros((2, 2), np.int64),
+    }
+    uploads = []
+
+    def counting_put(a):
+        uploads.append(a)
+        return jnp.asarray(a)
+
+    a = DeviceResidentData([g], batch_size=1, bucket_sizes=[2],
+                           put=counting_put, upload=False)
+    b = DeviceResidentData([g], batch_size=1, bucket_sizes=[2],
+                           put=counting_put, upload=False)
+    assert uploads == [] and a.nbytes > 0 and a.nbytes + b.nbytes > 0
+    a.upload()
+    b.upload()
+    assert len(uploads) == 14  # (6 arrays + base key) x 2
+    a.upload()  # idempotent
+    assert len(uploads) == 14
+    # a deferred-then-uploaded corpus serves batches normally
+    sched = a.epoch_schedule()
+    assert sched == [2]
+
+
+def test_negative_values_rejected():
+    base = {
+        "atom_type": np.asarray([1, 2], np.int32),
+        "r_feat": np.zeros((2, 4), np.float32),
+        "p_feat": np.zeros((2, 4), np.float32),
+        "pos": np.zeros((2, 3), np.float32),
+    }
+    bad_bond = dict(base, bond_mat=np.asarray([[0, -1], [-1, 0]], np.int64))
+    with pytest.raises(ValueError, match="uint8"):
+        DeviceResidentData([bad_bond], batch_size=1, bucket_sizes=[2])
+    bad_edge = dict(
+        base,
+        edge_index=np.asarray([[0, 1], [1, 0]], np.int32),
+        edge_type=np.asarray([-3, -3], np.int64),
+    )
+    with pytest.raises(ValueError, match="uint8"):
+        DeviceResidentData([bad_edge], batch_size=1, bucket_sizes=[2])
+    bad_atom = dict(base, bond_mat=np.zeros((2, 2), np.int64))
+    bad_atom["atom_type"] = np.asarray([-6, 1], np.int32)
+    with pytest.raises(ValueError, match="uint8"):
+        DeviceResidentData([bad_atom], batch_size=1, bucket_sizes=[2])
+
+
 def _tiny_model_setup(graphs):
     from tsdiff_tpu.config import Config
     from tsdiff_tpu.diffusion.schedules import DiffusionSchedule

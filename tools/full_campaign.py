@@ -42,6 +42,8 @@ def rank_checkpoints(run_dirs):
     weights, fresh validation), so entries are deduped by iteration (best
     val wins) — an ensemble member must be a distinct point on the
     trajectory, not the same weights twice."""
+    import json
+
     from tsdiff_tpu.train import load_checkpoint
 
     by_iter = {}
@@ -51,10 +53,19 @@ def rank_checkpoints(run_dirs):
             os.path.join(d, "checkpoints", "*.orbax")
         )
         for path in paths:
-            ck = load_checkpoint(path)
-            val = ck.get("avg_val_loss")
-            it = ck.get("iteration")
-            if val is None:
+            if path.endswith(".orbax"):
+                # ranking needs only iteration/val-loss: read the tiny
+                # meta sidecar instead of restoring the full param tree
+                try:
+                    with open(path + ".meta.json") as f:
+                        meta = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                val, it = meta.get("avg_val_loss"), meta.get("iteration")
+            else:
+                ck = load_checkpoint(path)
+                val, it = ck.get("avg_val_loss"), ck.get("iteration")
+            if val is None or it is None:
                 continue
             cand = (float(val), int(it), path)
             if int(it) not in by_iter or cand < by_iter[int(it)]:

@@ -61,8 +61,10 @@ def bond_code_from_rdkit(bond_type) -> int:
 
 def have_rdkit() -> bool:
     try:
-        import rdkit  # noqa: F401
+        import rdkit
 
-        return True
+        # the PyG-unpickle stand-in (data/pyg_compat.py) is not a usable
+        # rdkit — never let it flip this probe
+        return not getattr(rdkit, "__tsdiff_tpu_stub__", False)
     except ImportError:
         return False

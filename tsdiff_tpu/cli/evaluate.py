@@ -34,8 +34,18 @@ def main(argv=None):
 
     from tsdiff_tpu.eval.dmae import dmae_for_graph
 
-    with open(args.samples, "rb") as f:
-        samples = pickle.load(f)
+    # load_dataset handles every samples format in one place: our plain
+    # list-of-dicts pickles, native tsdiff_tpu.v1 payloads, and reference
+    # PyG pickles (samples_all.pkl) auto-converted through the stubs.
+    # Protein results pickles carry extra structure — fall back to a plain
+    # load for anything load_dataset rejects.
+    from tsdiff_tpu.data.dataset import load_dataset
+
+    try:
+        samples, _ = load_dataset(args.samples)
+    except ValueError:
+        with open(args.samples, "rb") as f:
+            samples = pickle.load(f)
 
     if args.protein:
         return _protein_stats(samples, args)

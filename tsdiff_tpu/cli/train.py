@@ -198,21 +198,29 @@ def main(argv=None):
         from tsdiff_tpu.parallel.sharding import replicated_spec
 
         _put = lambda a: jax.device_put(a, replicated_spec(mesh))  # noqa: E731
-        # auto: enforce the HBM budget BEFORE any upload (the size check is
-        # host-side; an oversized corpus must not transfer — or, on leaky
-        # tunneled clients, leak — gigabytes before falling back)
+        # auto: enforce the HBM budget BEFORE any upload — both corpora are
+        # packed host-side first and the COMBINED size checked, so an
+        # over-budget pair never transfers (or, on leaky tunneled clients,
+        # leaks) a single byte before the streaming fallback
         budget = int(4e9) if args.device_data == "auto" else None
         try:
             train_res = DeviceResidentData(
                 train_set.graphs, config.train.batch_size,
                 bucket_sizes=bucket_sizes, seed=config.train.seed, put=_put,
-                max_bytes=budget,
+                upload=False,
             )
             val_res = DeviceResidentData(
                 val_set.graphs, config.train.batch_size,
-                bucket_sizes=bucket_sizes, put=_put,
-                max_bytes=None if budget is None else budget - train_res.nbytes,
+                bucket_sizes=bucket_sizes, put=_put, upload=False,
             )
+            total = train_res.nbytes + val_res.nbytes
+            if budget is not None and total > budget:
+                raise CorpusTooLarge(
+                    f"packed corpus is {total / 1e9:.2f} GB "
+                    f"(> {budget / 1e9:.2f} GB budget)"
+                )
+            train_res.upload()
+            val_res.upload()
         except CorpusTooLarge as e:
             logger.info(f"device_data auto: {e}; falling back to the streaming loader")
             train_res = val_res = None

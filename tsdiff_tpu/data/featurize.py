@@ -47,8 +47,12 @@ def default_feat_dict() -> dict:
 
 def _require_rdkit():
     try:
-        from rdkit import Chem  # noqa: F401
+        import rdkit
+        from rdkit import Chem
 
+        if getattr(rdkit, "__tsdiff_tpu_stub__", False):
+            # the PyG-unpickle stand-in (data/pyg_compat.py), not real rdkit
+            raise ImportError("rdkit module is a pyg_compat unpickle stub")
         return Chem
     except ImportError as e:
         raise ImportError(

@@ -32,7 +32,15 @@ class StubData:
     class lookup + ``__dict__`` state — so no methods are needed; fields
     appear as plain attributes.  New-style (>=2.0) Data keeps fields in a
     ``_store`` storage object; see :func:`data_attrs`.
+
+    ``__module__``/``__qualname__`` claim the PyG identity so instances
+    also PICKLE as ``torch_geometric.data.data.Data`` (works only while the
+    stubs are installed) — test fixtures written this way exercise the
+    exact global-resolution path real reference pickles take.
     """
+
+    __module__ = "torch_geometric.data.data"
+    __qualname__ = "Data"
 
     def __init__(self, **kwargs):
         self.__dict__.update(kwargs)
@@ -40,6 +48,9 @@ class StubData:
 
 class StubStorage:
     """Stand-in for ``torch_geometric.data.storage.*Storage`` (PyG >= 2.0)."""
+
+    __module__ = "torch_geometric.data.storage"
+    __qualname__ = "BaseStorage"
 
     def __setstate__(self, state):
         if isinstance(state, dict):
@@ -51,6 +62,9 @@ class StubMol:
     """Stand-in for ``rdkit.Chem.rdchem.Mol`` — RDKit pickles molecules as
     ``Mol(binary_blob)``; the blob is kept verbatim so a later environment
     WITH rdkit could round-trip it, but nothing here interprets it."""
+
+    __module__ = "rdkit.Chem.rdchem"
+    __qualname__ = "Mol"
 
     def __init__(self, *args):
         self.pickle_args = args
@@ -167,6 +181,22 @@ def install_pyg_stubs() -> list[str]:
     return installed
 
 
+def uninstall_pyg_stubs() -> list[str]:
+    """Remove every stub module this file installed (identified by the
+    ``__tsdiff_tpu_stub__`` mark).  Objects already unpickled keep working —
+    their classes hold direct references; only the ``sys.modules`` entries
+    go, so availability probes (``import rdkit`` / ``import
+    torch_geometric``) fail again as they should.  Returns the removed
+    names."""
+    removed = [
+        name for name, mod in list(sys.modules.items())
+        if getattr(mod, _STUB_MARK, False)
+    ]
+    for name in removed:
+        del sys.modules[name]
+    return removed
+
+
 def data_attrs(d) -> dict:
     """Field dict of a (stub or real) Data object — handles old-style
     ``__dict__`` fields and new-style ``_store`` storages uniformly."""
@@ -198,6 +228,14 @@ def load_pyg_pickle(path: str):
             "required to read them (the torch-free reader only covers .pt "
             "zip checkpoints)"
         ) from e
-    install_pyg_stubs()
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    installed = install_pyg_stubs()
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    finally:
+        # never leave fake modules behind: a lingering stub would flip
+        # availability probes (chem.have_rdkit and friends) process-wide.
+        # Only remove what THIS call installed — a caller managing stubs
+        # explicitly (install_pyg_stubs before us) keeps its own.
+        for name in installed:
+            sys.modules.pop(name, None)

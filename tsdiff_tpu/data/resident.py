@@ -73,7 +73,7 @@ class DeviceResidentData:
     """
 
     def __init__(self, graphs, batch_size: int, bucket_sizes=None, seed: int = 0,
-                 put=None, max_bytes: int | None = None):
+                 put=None, max_bytes: int | None = None, upload: bool = True):
         if len(graphs) == 0:
             raise ValueError("empty corpus")
         put = put or jnp.asarray
@@ -110,12 +110,13 @@ class DeviceResidentData:
             for i, g in enumerate(gs):
                 n = int(np.asarray(g["atom_type"]).shape[0])
                 at = np.asarray(g["atom_type"])
-                if at.max(initial=0) > 255:
+                if at.max(initial=0) > 255 or at.min(initial=0) < 0:
                     raise ValueError("atom_type exceeds uint8 wire format")
                 atom[i, :n] = at
                 rfi = np.asarray(g["r_feat"])
                 pfi = np.asarray(g["p_feat"])
-                if rfi.max(initial=0) > 255 or pfi.max(initial=0) > 255:
+                if (rfi.max(initial=0) > 255 or pfi.max(initial=0) > 255
+                        or rfi.min(initial=0) < 0 or pfi.min(initial=0) < 0):
                     raise ValueError("one-hot features exceed uint8 wire format")
                 rf[i, :n] = rfi
                 pf[i, :n] = pfi
@@ -123,13 +124,13 @@ class DeviceResidentData:
                     pos[i, :n] = g["pos"]
                 if "bond_mat" in g:
                     bm = np.asarray(g["bond_mat"])
-                    if bm.max(initial=0) > 255:
+                    if bm.max(initial=0) > 255 or bm.min(initial=0) < 0:
                         raise ValueError("bond types exceed uint8 wire format")
                     bond[i, :n, :n] = bm
                 else:
                     ei = np.asarray(g["edge_index"])
                     et = np.asarray(g["edge_type"])
-                    if et.max(initial=0) > 255:
+                    if et.max(initial=0) > 255 or et.min(initial=0) < 0:
                         raise ValueError("bond types exceed uint8 wire format")
                     bond[i, ei[0], ei[1]] = et
                 mask[i, :n] = True
@@ -152,10 +153,29 @@ class DeviceResidentData:
                 f"packed corpus is {self._nbytes / 1e9:.2f} GB "
                 f"(> {max_bytes / 1e9:.2f} GB budget)"
             )
-        self.buckets: dict[int, dict[str, jax.Array]] = {
+        self._put = put
+        self._seed = seed
+        self._host_buckets: dict[int, dict[str, np.ndarray]] | None = host_buckets
+        self.buckets: dict[int, dict[str, jax.Array]] = {}
+        # jitted per-bucket plan builders (one compile per bucket)
+        self._plan_fns: dict[int, callable] = {}
+        if upload:
+            self.upload()
+
+    def upload(self) -> "DeviceResidentData":
+        """Transfer the packed corpus to device (idempotent).  With
+        ``upload=False`` at construction, callers can inspect ``nbytes`` of
+        SEVERAL corpora (e.g. train + val against a shared HBM budget) and
+        only then trigger the transfers — an over-budget pair must not move
+        a byte."""
+        if self._host_buckets is None:
+            return self
+        put = self._put
+        self.buckets = {
             bsize: {k: put(a) for k, a in arrs.items()}
-            for bsize, arrs in host_buckets.items()
+            for bsize, arrs in self._host_buckets.items()
         }
+        self._host_buckets = None  # free the host copies
 
         # Derive the base key data on the CPU backend: creating the key on
         # the accelerator and reading it back is a device->host round-trip
@@ -164,10 +184,9 @@ class DeviceResidentData:
         # measured; plain D2H of a 4 MB buffer is 0.15 s).
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            key_data = np.asarray(jax.random.key_data(jax.random.key(seed)))
+            key_data = np.asarray(jax.random.key_data(jax.random.key(self._seed)))
         self._base_key = put(key_data)
-        # jitted per-bucket plan builders (one compile per bucket)
-        self._plan_fns: dict[int, callable] = {}
+        return self
 
     @property
     def nbytes(self) -> int:
