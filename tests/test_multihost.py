@@ -1,0 +1,154 @@
+"""Multi-process SPMD training (parallel/multihost.py + train CLI --multihost).
+
+Forms a REAL 2-process JAX cluster on the CPU backend (coordinator service +
+cross-process Gloo collectives, 4 virtual devices per process = 8 global)
+and runs the ACTUAL train CLI in both processes; the coordinator's
+checkpoint must exist, carry a finite val loss, and match the
+single-process 8-device run bit-for-bit in data semantics (same seeds, same
+global batches) — loss parity is the assertion.
+
+This is the closest a single machine gets to a TPU pod: distinct processes,
+process-local devices, a global mesh, and collectives crossing process
+boundaries.
+"""
+
+import glob
+import os
+import pickle
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+import yaml
+
+from test_data import make_graph_dicts
+
+pytestmark = pytest.mark.heavy
+
+FEAT = 6
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _tiny_cfg(root, batch_size=8, max_iters=6, val_freq=3):
+    rng = np.random.default_rng(0)
+    graphs = make_graph_dicts(rng, [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6, 7],
+                              feat_dim=FEAT)
+    from tsdiff_tpu.data import save_dataset
+
+    save_dataset(os.path.join(root, "train.pkl"), graphs[:8])
+    save_dataset(os.path.join(root, "val.pkl"), graphs[8:])
+    cfg = {
+        "model": {
+            "network": "condensenc",
+            "edge_cutoff": 10.0, "edge_order": 4, "pred_edge_order": 3,
+            "encoder": {
+                "name": "schnet", "edge_emb": False, "num_convs": 2,
+                "cutoff": 10.0, "smooth_conv": False, "mlp_act": "swish",
+                "hidden_dim": 16,
+            },
+            "feat_dim": FEAT, "hidden_dim": 16, "edge_encoder": "mlp",
+            "mlp_act": "swish", "edge_cat_act": "swish",
+            "beta_schedule": "sigmoid", "beta_start": 1e-7, "beta_end": 2e-3,
+            "num_diffusion_timesteps": 30,
+        },
+        "train": {
+            "seed": 0, "batch_size": batch_size, "val_freq": val_freq,
+            "log_freq": val_freq, "max_iters": max_iters,
+            "max_grad_norm": 3000.0, "anneal_power": 2.0,
+            "optimizer": {"type": "adam", "lr": 5e-4, "weight_decay": 0.0,
+                          "beta1": 0.95, "beta2": 0.999},
+            "scheduler": {"type": "plateau", "factor": 0.8, "patience": 10,
+                          "min_lr": 1.25e-4},
+        },
+        "dataset": {
+            "train": os.path.join(root, "train.pkl"),
+            "val": os.path.join(root, "val.pkl"),
+            "test": os.path.join(root, "val.pkl"),
+        },
+    }
+    cfg_path = os.path.join(root, "cfg.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path
+
+
+_RUNNER = textwrap.dedent("""
+    import sys
+    sys.path[:0] = [{repo!r}]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tsdiff_tpu.cli import train
+    train.main({argv!r})
+""")
+
+
+def _spawn(argv, extra_env=None):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    if extra_env:
+        env.update(extra_env)
+    return subprocess.Popen(
+        [sys.executable, "-c", _RUNNER.format(repo=REPO, argv=argv)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def _best_val_loss(logdir) -> float:
+    ckpts = sorted(glob.glob(os.path.join(logdir, "*", "checkpoints", "*.ckpt")))
+    assert ckpts, f"no checkpoints under {logdir}"
+    with open(ckpts[-1], "rb") as f:
+        ck = pickle.load(f)
+    return float(ck["avg_val_loss"])
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    cfg_path = _tiny_cfg(str(tmp_path))
+    port = _free_port()
+
+    mh_dir = str(tmp_path / "mh")
+    procs = [
+        _spawn([
+            cfg_path, "--logdir", mh_dir, "--device_data", "off",
+            "--multihost", "--coordinator", f"127.0.0.1:{port}",
+            "--nprocs", "2", "--procid", str(pid),
+        ])
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    # only the coordinator wrote checkpoints
+    all_ckpts = glob.glob(os.path.join(mh_dir, "*", "checkpoints", "*.ckpt"))
+    coord_dirs = [d for d in glob.glob(os.path.join(mh_dir, "*"))
+                  if "proc1" not in os.path.basename(d)]
+    assert all_ckpts and all(
+        os.path.dirname(os.path.dirname(c)) in coord_dirs for c in all_ckpts
+    )
+    mh_loss = _best_val_loss(mh_dir)
+    assert np.isfinite(mh_loss)
+
+    # single-process 8-virtual-device run over the same global mesh shape:
+    # identical seeds + identical global batches -> loss parity
+    sp_dir = str(tmp_path / "sp")
+    p = _spawn(
+        [cfg_path, "--logdir", sp_dir, "--device_data", "off"],
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+    sp_loss = _best_val_loss(sp_dir)
+    np.testing.assert_allclose(mh_loss, sp_loss, rtol=2e-3)

@@ -46,10 +46,30 @@ def main(argv=None):
                              "traffic; data/resident.py). auto = on when the packed corpus "
                              "fits comfortably in HBM (<4 GB) and the dataset is not "
                              "sidechain-streamed")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="multi-process SPMD (one process per TPU host): "
+                             "jax.distributed cluster bring-up; every process feeds its "
+                             "local shard of each global batch (parallel/multihost.py). "
+                             "On TPU pods the cluster is auto-detected; elsewhere pass "
+                             "--coordinator/--nprocs/--procid")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multihost coordinator address host:port (omit on TPU pods)")
+    parser.add_argument("--nprocs", type=int, default=None,
+                        help="multihost process count (omit on TPU pods)")
+    parser.add_argument("--procid", type=int, default=None,
+                        help="multihost process id (omit on TPU pods)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        from tsdiff_tpu.parallel import multihost as mh
+
+        mh.initialize(args.coordinator, args.nprocs, args.procid)
+    nproc = jax.process_count()
+    proc_id = jax.process_index()
+    is_coord = proc_id == 0
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -96,6 +116,10 @@ def main(argv=None):
         config.train.max_iters = args.max_iters
 
     tag = args.tag if args.tag is not None else args.name
+    if nproc > 1 and not is_coord:
+        # every process keeps its own log dir (debuggability); only the
+        # coordinator writes checkpoints and wandb
+        tag = f"{tag}_proc{proc_id}" if tag else f"proc{proc_id}"
     log_dir = get_new_log_dir(
         args.logdir, prefix=config_name, tag=f"{tag}_resume" if resume else tag
     )
@@ -107,7 +131,7 @@ def main(argv=None):
     shutil.copyfile(config_path, os.path.join(log_dir, os.path.basename(config_path)))
 
     use_wandb = False
-    if args.name and args.project:
+    if args.name and args.project and is_coord:
         try:
             import wandb
 
@@ -186,14 +210,48 @@ def main(argv=None):
     # Mesh: data-parallel over the largest device count dividing the batch
     n_dev = len(jax.devices())
     dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
+    if nproc > 1 and dp != n_dev:
+        # multi-process jit must span every process's devices, and row
+        # ownership assumes equal per-process blocks
+        raise SystemExit(
+            f"--multihost requires batch_size ({config.train.batch_size}) "
+            f"divisible by the {n_dev} global devices"
+        )
     mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
+
+    # batch placement: single-process device_put vs per-process local shards
+    if nproc > 1:
+        from tsdiff_tpu.parallel.multihost import make_global_batch, make_replicated
+
+        to_device = lambda b: make_global_batch(b, mesh)  # noqa: E731
+
+        from tsdiff_tpu.parallel.sharding import replicated_spec as _rspec
+
+        import numpy as _np
+
+        def _gkey(k):
+            # PRNG keys must enter multi-process jits as global (replicated)
+            # arrays; every process derives identical key data from the
+            # shared seed, so process-local construction is safe
+            kd = _np.asarray(jax.random.key_data(k))
+            return jax.random.wrap_key_data(
+                jax.make_array_from_process_local_data(_rspec(mesh), kd)
+            )
+    else:
+        to_device = lambda b: shard_batch(b, mesh)  # noqa: E731
+        _gkey = lambda k: k  # noqa: E731
 
     # Input pipeline: device-resident corpus (upload once, zero steady-state
     # host->device traffic — also sidesteps tunneled-client transfer-buffer
     # leaks, data/resident.py) when it fits; else background packing +
     # transfer overlapped with compute.
     train_res = val_res = None
-    if args.device_data != "off" and not sidechain_mode:
+    if nproc > 1 and args.device_data == "on":
+        logger.info(
+            "device-resident pipeline is single-process; --multihost uses "
+            "the streaming loader"
+        )
+    if args.device_data != "off" and not sidechain_mode and nproc == 1:
         from tsdiff_tpu.data.resident import CorpusTooLarge, DeviceResidentData
         from tsdiff_tpu.parallel.sharding import replicated_spec
 
@@ -235,7 +293,7 @@ def main(argv=None):
         train_iter = iter(
             Prefetcher(
                 train_stream, depth=2,
-                transfer=lambda b: shard_batch(b, mesh),
+                transfer=to_device,
             )
         )
     logger.info(f"Devices: {n_dev} -> mesh (dp={dp}, ens=1)")
@@ -320,7 +378,12 @@ def main(argv=None):
             ema_params=warm if ema_decay else None,
         )
 
-    state = replicate(state, mesh)
+    if nproc > 1:
+        # identical local states on every process (same init key / loaded
+        # checkpoint) -> one fully-replicated global state
+        state = make_replicated(jax.device_get(state), mesh)
+    else:
+        state = replicate(state, mesh)
     logger.info(f"Parameters: {count_parameters(state.params):,}")
 
     def validate(it: int) -> float:
@@ -339,7 +402,7 @@ def main(argv=None):
         else:
             for vi, batch in enumerate(val_loader):
                 ls, nn = eval_step(
-                    state.params, shard_batch(batch, mesh), jax.random.key(10_000_000 + vi)
+                    state.params, to_device(batch), _gkey(jax.random.key(10_000_000 + vi))
                 )
                 sum_loss += float(ls)
                 sum_n += float(nn)
@@ -398,7 +461,7 @@ def main(argv=None):
         def do_step(k, batch=None):
             if batch is None:
                 batch = next(train_iter)
-            return train_step(state, batch, k, scheduler.lr)
+            return train_step(state, batch, _gkey(k), scheduler.lr)
 
     try:
         for it in range(start_iter, config.train.max_iters + 1):
@@ -451,7 +514,9 @@ def main(argv=None):
                     lr_dev = jnp.asarray(lr_host, jnp.float32)
                 if avg_val_loss < best_loss:
                     best_loss = avg_val_loss
-                    if args.ckpt_backend == "orbax":
+                    if not is_coord:
+                        pass  # only the coordinator writes checkpoints
+                    elif args.ckpt_backend == "orbax":
                         from tsdiff_tpu.train.orbax_io import save_checkpoint_orbax
 
                         # async: the write overlaps the next training steps
@@ -472,7 +537,10 @@ def main(argv=None):
                             iteration=it,
                             avg_val_loss=avg_val_loss,
                         )
-                    logger.info(f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})")
+                    if is_coord:
+                        logger.info(
+                            f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})"
+                        )
     except KeyboardInterrupt:
         logger.info("Terminating...")
     finally:

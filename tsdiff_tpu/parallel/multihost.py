@@ -1,0 +1,116 @@
+"""Multi-host (multi-process) SPMD support.
+
+Production TPU pods run ONE process per host; every process sees only its
+local chips, JAX stitches them into one global device set after
+``jax.distributed.initialize``, and each process feeds the LOCAL shard of
+every global batch.  The reference has no distributed story at all
+(SURVEY §2.10 — single-GPU torch); here the existing (dp[, ens]) and
+hybrid (dp_dcn, dp, ens) meshes work unchanged over the global device set,
+and this module supplies the three things multi-process execution needs:
+
+  * :func:`initialize` — cluster bring-up (auto-detect on TPU pods, explicit
+    coordinator/rank flags elsewhere, e.g. the CPU Gloo cluster the suite
+    uses);
+  * :func:`is_coordinator` — gate checkpoint writes / logging to process 0;
+  * :func:`make_global_batch` — per-process local rows -> one dp-sharded
+    global jax.Array pytree (``jax.make_array_from_process_local_data``).
+
+Determinism contract (how every process stays on the SAME program): each
+process builds the IDENTICAL global batch sequence (same corpus file, same
+seed, same bucket schedule) and slices its own row block.  Bucket sizes are
+part of the compiled shapes, so divergent schedules would deadlock the
+collectives — slicing a shared global plan makes divergence impossible,
+at the cost of each host packing rows it does not feed (negligible next to
+the device step).
+
+Tested without TPU hardware: tests/test_multihost.py forms a REAL
+2-process CPU cluster (cross-process Gloo collectives) and asserts loss
+parity with the single-process run.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from tsdiff_tpu.parallel.sharding import batch_spec
+
+
+def initialize(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """``jax.distributed.initialize`` wrapper.
+
+    On TPU pods all three arguments are discovered from the environment —
+    call with no arguments.  On CPU/GPU clusters (or local multi-process
+    tests) pass ``coordinator`` ("host:port"), ``num_processes`` and
+    ``process_id`` explicitly.  Must run before the first device use.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def local_row_block(n_rows: int) -> tuple[int, int]:
+    """[start, stop) row block of a global batch owned by this process.
+
+    Row ownership must follow the mesh's dp-axis device order; meshes here
+    are built over ``jax.devices()``, which orders devices by process, so
+    contiguous equal blocks in process order are correct.
+    """
+    nproc = jax.process_count()
+    if n_rows % nproc != 0:
+        raise ValueError(
+            f"global batch of {n_rows} rows does not split over "
+            f"{nproc} processes"
+        )
+    rows = n_rows // nproc
+    pid = jax.process_index()
+    return pid * rows, (pid + 1) * rows
+
+
+def make_global_batch(batch, mesh):
+    """IDENTICAL global numpy batch on every process -> dp-sharded global
+    jax.Array pytree; each process transfers only its own row block."""
+    spec = batch_spec(mesh)
+    lo, hi = local_row_block(_leading_dim(batch))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            spec, np.asarray(x)[lo:hi]
+        ),
+        batch,
+    )
+
+
+def make_replicated(tree, mesh):
+    """Fully-replicated global arrays from identical per-process copies
+    (multi-process replacement for ``device_put(tree, replicated_spec)``)."""
+    from tsdiff_tpu.parallel.sharding import replicated_spec
+
+    spec = replicated_spec(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(spec, np.asarray(x)),
+        tree,
+    )
+
+
+def _leading_dim(batch) -> int:
+    leaves = jax.tree.leaves(batch)
+    if not leaves:
+        raise ValueError("empty batch")
+    return int(np.asarray(leaves[0]).shape[0])
