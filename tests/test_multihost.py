@@ -111,6 +111,94 @@ def _best_val_loss(logdir) -> float:
     return float(ck["avg_val_loss"])
 
 
+_SAMPLE_RUNNER = textwrap.dedent("""
+    import sys
+    sys.path[:0] = [{repo!r}]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tsdiff_tpu.cli import sampling
+    sampling.main({argv!r})
+""")
+
+
+def test_two_process_sampling_matches_single_process(tmp_path):
+    """Multi-process production sampling: the CLI (dp, ens) mesh spans two
+    processes; the coordinator's samples must match the single-process
+    8-device mesh run."""
+    import jax
+
+    from tsdiff_tpu.data import save_dataset
+    from tsdiff_tpu.models import get_model
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_condensenc import MODEL_CFG, make_batch
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    graphs = make_graph_dicts(rng, [5, 6, 7, 5, 6], feat_dim=8)
+    save_dataset(os.path.join(root, "test.pkl"), graphs)
+    batch = make_batch(rng, [5, 8])
+    model = get_model(MODEL_CFG)
+    for s in range(2):
+        params = model.init(
+            jax.random.key(s),
+            batch.atom_type, batch.r_feat, batch.p_feat,
+            batch.pos, batch.bond_mat, batch.node_mask,
+        )
+        ck = {
+            "format": "tsdiff_tpu.ckpt.v1",
+            "config": {"model": dict(MODEL_CFG)},
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": None, "scheduler": None,
+            "iteration": 1, "avg_val_loss": None,
+        }
+        with open(os.path.join(root, f"ens{s}.pkl"), "wb") as f:
+            pickle.dump(ck, f)
+
+    def argv(out, extra):
+        return [
+            os.path.join(root, "ens0.pkl"), os.path.join(root, "ens1.pkl"),
+            "--test_set", os.path.join(root, "test.pkl"),
+            "--save_dir", os.path.join(root, out),
+            "--n_steps", "6", "--batch_size", "4", "--seed", "5",
+            "--mesh", "4,2", *extra,
+        ]
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _SAMPLE_RUNNER.format(repo=REPO, argv=argv("out_mh", [
+                 "--multihost", "--coordinator", f"127.0.0.1:{port}",
+                 "--nprocs", "2", "--procid", str(pid)]))],
+            env={**os.environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         _SAMPLE_RUNNER.format(repo=REPO, argv=argv("out_sp", []))],
+        env={**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+
+    with open(os.path.join(root, "out_mh", "samples_all.pkl"), "rb") as f:
+        r_mh = pickle.load(f)
+    with open(os.path.join(root, "out_sp", "samples_all.pkl"), "rb") as f:
+        r_sp = pickle.load(f)
+    assert len(r_mh) == len(r_sp) == 5
+    for a, b in zip(r_mh, r_sp):
+        np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
+
+
 def test_two_process_cluster_matches_single_process(tmp_path):
     cfg_path = _tiny_cfg(str(tmp_path))
     port = _free_port()

@@ -79,10 +79,25 @@ def main(argv=None):
                              "disable, or 'auto' (default): ENS = gcd(#devices, #ckpts) with "
                              "the rest as data parallelism. Members shard over ENS, the batch "
                              "over DP; XLA inserts the score-mean reduction over ICI.")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="multi-process SPMD sampling (one process per TPU host); "
+                             "the mesh spans the GLOBAL device set and only process 0 "
+                             "writes results. On pods the cluster is auto-detected; "
+                             "elsewhere pass --coordinator/--nprocs/--procid")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--nprocs", type=int, default=None)
+    parser.add_argument("--procid", type=int, default=None)
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        from tsdiff_tpu.parallel import multihost as _mh
+
+        _mh.initialize(args.coordinator, args.nprocs, args.procid)
+    nproc = jax.process_count()
+    is_coord = jax.process_index() == 0
 
     from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
 
@@ -156,6 +171,11 @@ def main(argv=None):
     else:
         dp_axis, ens_axis = (int(x) for x in args.mesh.split(","))
     mesh = None
+    if nproc > 1 and dp_axis * ens_axis != n_devices:
+        raise SystemExit(
+            f"--multihost sampling requires the mesh to span all "
+            f"{n_devices} global devices (got dp={dp_axis} x ens={ens_axis})"
+        )
     if dp_axis * ens_axis > 1:
         if len(cks) % ens_axis:
             raise SystemExit(
@@ -163,10 +183,19 @@ def main(argv=None):
                 f"by ens={ens_axis}"
             )
         mesh = make_mesh(dp=dp_axis, ens=ens_axis)
-        stacked = shard_ensemble_params(stacked, mesh)
+        if nproc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from tsdiff_tpu.parallel.multihost import global_from_full
+
+            stacked = global_from_full(
+                jax.device_get(stacked), NamedSharding(mesh, _P("ens"))
+            )
+        else:
+            stacked = shard_ensemble_params(stacked, mesh)
         logger.info(
-            "Sampling on a (dp=%d, ens=%d) device mesh (%d devices)",
-            dp_axis, ens_axis, dp_axis * ens_axis,
+            "Sampling on a (dp=%d, ens=%d) device mesh (%d devices, %d processes)",
+            dp_axis, ens_axis, dp_axis * ens_axis, nproc,
         )
 
     # Test set
@@ -290,7 +319,13 @@ def main(argv=None):
         n_pad = max(pick_bucket(int(g["atom_type"].shape[0]), buckets) for g in gpad)
         batch = from_numpy_graphs(gpad, max_nodes=n_pad)
         if mesh is not None:
-            batch = shard_batch(batch, mesh)
+            if nproc > 1:
+                from tsdiff_tpu.parallel.multihost import global_from_full
+                from tsdiff_tpu.parallel.sharding import batch_spec
+
+                batch = global_from_full(batch, batch_spec(mesh))
+            else:
+                batch = shard_batch(batch, mesh)
         runner, settings = get_runner(n_pad, len(gpad), float(clip))
         if args.from_ts_guess:
             assert args.denoise_from_time_t is not None
@@ -313,14 +348,26 @@ def main(argv=None):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            pos_init = jax.device_put(pos_init, NamedSharding(mesh, P("dp")))
+            if nproc > 1:
+                from tsdiff_tpu.parallel.multihost import global_from_full
+
+                pos_init = global_from_full(
+                    jax.device_get(pos_init), NamedSharding(mesh, P("dp"))
+                )
+            else:
+                pos_init = jax.device_put(pos_init, NamedSharding(mesh, P("dp")))
         key = jax.random.key(args.seed * 7919 + len(results))
+        if nproc > 1:
+            from tsdiff_tpu.parallel.multihost import global_key
+
+            key = global_key(key, mesh)
         res = runner(stacked, batch, pos_init, key)
         return batch, res, settings
 
     from tqdm.auto import tqdm
 
-    for graphs in tqdm(list(batching(test_set, args.batch_size, args.repeat))):
+    for graphs in tqdm(list(batching(test_set, args.batch_size, args.repeat)),
+                       disable=not is_coord):
         res = None
         for attempt, clip in enumerate([args.clip, 20.0]):  # retry at clip=20 on NaN
             batch, res, settings = sample_batch(graphs, clip)
@@ -337,6 +384,17 @@ def main(argv=None):
         # final positions: scaled frame -> physical frame.  ~1 for a full
         # run, essential for denoise_from_time_t > n_steps (the reference
         # always rescales, sampling.py:210-216); dsm runs unscaled.
+        if nproc > 1:
+            # all-gather the dp-sharded results so every process holds the
+            # full value (a collective: every process must execute it)
+            from tsdiff_tpu.parallel.multihost import replicate_output
+
+            res = res.__class__(
+                pos=replicate_output(res.pos, mesh),
+                traj=replicate_output(res.traj, mesh)
+                if res.traj is not None else None,
+                nan_detected=res.nan_detected,
+            )
         pos = np.asarray(res.pos)
         if schedule is not None and getattr(model, "model_type", "diffusion") != "dsm":
             pos = pos * final_frame_scale(schedule, settings)
@@ -355,16 +413,18 @@ def main(argv=None):
                 out["nan_persisted"] = True
             results.append(out)
             done_smiles.add(out.get("smiles"))
-        with open(os.path.join(args.save_dir, "samples_not_all.pkl"), "wb") as f:
-            pickle.dump(results, f)
+        if is_coord:  # multi-process: only process 0 writes result pickles
+            with open(os.path.join(args.save_dir, "samples_not_all.pkl"), "wb") as f:
+                pickle.dump(results, f)
 
-    partial = os.path.join(args.save_dir, "samples_not_all.pkl")
-    if os.path.exists(partial):
-        os.remove(partial)
     save_path = os.path.join(args.save_dir, "samples_all.pkl")
-    logger.info("Saving samples to: %s" % save_path)
-    with open(save_path, "wb") as f:
-        pickle.dump(results, f)
+    if is_coord:
+        partial = os.path.join(args.save_dir, "samples_not_all.pkl")
+        if os.path.exists(partial):
+            os.remove(partial)
+        logger.info("Saving samples to: %s" % save_path)
+        with open(save_path, "wb") as f:
+            pickle.dump(results, f)
     return save_path
 
 

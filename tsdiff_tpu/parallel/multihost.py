@@ -109,6 +109,37 @@ def make_replicated(tree, mesh):
     )
 
 
+def global_from_full(tree, sharding):
+    """IDENTICAL full host arrays on every process -> global jax.Arrays with
+    ``sharding`` (any spec: dp-sharded batches, ens-sharded stacked params,
+    replicated statics).  Each process transfers only its addressable
+    shards; the callback slices them out of the full copy."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def global_key(key, mesh):
+    """Process-local PRNG key -> fully-replicated global key array (every
+    process derives identical key data from the shared seed)."""
+    from tsdiff_tpu.parallel.sharding import replicated_spec
+
+    kd = np.asarray(jax.random.key_data(key))
+    return jax.random.wrap_key_data(global_from_full(kd, replicated_spec(mesh)))
+
+
+def replicate_output(x, mesh):
+    """Reshard a (possibly dp-sharded) global array to fully-replicated so
+    every process can ``np.asarray`` the complete value.  XLA inserts the
+    all-gather; ALL processes must call this (it is a collective)."""
+    from tsdiff_tpu.parallel.sharding import replicated_spec
+
+    return jax.jit(lambda y: y, out_shardings=replicated_spec(mesh))(x)
+
+
 def _leading_dim(batch) -> int:
     leaves = jax.tree.leaves(batch)
     if not leaves:
