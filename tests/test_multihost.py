@@ -199,14 +199,15 @@ def test_two_process_sampling_matches_single_process(tmp_path):
         np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
 
 
-def test_two_process_cluster_matches_single_process(tmp_path):
+@pytest.mark.parametrize("device_data", ["off", "on"])
+def test_two_process_cluster_matches_single_process(tmp_path, device_data):
     cfg_path = _tiny_cfg(str(tmp_path))
     port = _free_port()
 
     mh_dir = str(tmp_path / "mh")
     procs = [
         _spawn([
-            cfg_path, "--logdir", mh_dir, "--device_data", "off",
+            cfg_path, "--logdir", mh_dir, "--device_data", device_data,
             "--multihost", "--coordinator", f"127.0.0.1:{port}",
             "--nprocs", "2", "--procid", str(pid),
         ])
@@ -233,7 +234,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     # identical seeds + identical global batches -> loss parity
     sp_dir = str(tmp_path / "sp")
     p = _spawn(
-        [cfg_path, "--logdir", sp_dir, "--device_data", "off"],
+        [cfg_path, "--logdir", sp_dir, "--device_data", device_data],
         extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
     )
     out, _ = p.communicate(timeout=540)

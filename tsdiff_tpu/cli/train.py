@@ -221,13 +221,16 @@ def main(argv=None):
 
     # batch placement: single-process device_put vs per-process local shards
     if nproc > 1:
-        from tsdiff_tpu.parallel.multihost import make_global_batch, make_replicated
+        import numpy as _np
 
-        to_device = lambda b: make_global_batch(b, mesh)  # noqa: E731
-
+        from tsdiff_tpu.parallel.multihost import (
+            global_from_full,
+            make_global_batch,
+            make_replicated,
+        )
         from tsdiff_tpu.parallel.sharding import replicated_spec as _rspec
 
-        import numpy as _np
+        to_device = lambda b: make_global_batch(b, mesh)  # noqa: E731
 
         def _gkey(k):
             # PRNG keys must enter multi-process jits as global (replicated)
@@ -237,25 +240,30 @@ def main(argv=None):
             return jax.random.wrap_key_data(
                 jax.make_array_from_process_local_data(_rspec(mesh), kd)
             )
+
+        def _dev_scalar(x, dt):
+            # device scalars (cursors, LR) must also be global, not local
+            return global_from_full(_np.asarray(x, dt), _rspec(mesh))
     else:
         to_device = lambda b: shard_batch(b, mesh)  # noqa: E731
         _gkey = lambda k: k  # noqa: E731
+        _dev_scalar = lambda x, dt: jnp.asarray(x, dt)  # noqa: E731
 
     # Input pipeline: device-resident corpus (upload once, zero steady-state
     # host->device traffic — also sidesteps tunneled-client transfer-buffer
     # leaks, data/resident.py) when it fits; else background packing +
     # transfer overlapped with compute.
     train_res = val_res = None
-    if nproc > 1 and args.device_data == "on":
-        logger.info(
-            "device-resident pipeline is single-process; --multihost uses "
-            "the streaming loader"
-        )
-    if args.device_data != "off" and not sidechain_mode and nproc == 1:
+    if args.device_data != "off" and not sidechain_mode:
         from tsdiff_tpu.data.resident import CorpusTooLarge, DeviceResidentData
         from tsdiff_tpu.parallel.sharding import replicated_spec
 
-        _put = lambda a: jax.device_put(a, replicated_spec(mesh))  # noqa: E731
+        if nproc > 1:
+            # replicated corpus as GLOBAL arrays (every process holds the
+            # same packed data and transfers its addressable shards)
+            _put = lambda a: global_from_full(a, _rspec(mesh))  # noqa: E731
+        else:
+            _put = lambda a: jax.device_put(a, replicated_spec(mesh))  # noqa: E731
         # auto: enforce the HBM budget BEFORE any upload — both corpora are
         # packed host-side first and the COMBINED size checked, so an
         # over-budget pair never transfers (or, on leaky tunneled clients,
@@ -394,7 +402,7 @@ def main(argv=None):
                 for ci in range(val_res.n_batches[b]):
                     ls, nn = res_eval_step(
                         state.params, arrs, val_plans[b], ci,
-                        jax.random.key(10_000_000 + vi),
+                        _gkey(jax.random.key(10_000_000 + vi)),
                     )
                     sum_loss += float(ls)
                     sum_n += float(nn)
@@ -434,7 +442,7 @@ def main(argv=None):
         epoch, pos_in_epoch = divmod(start_iter - 1, len(schedule_seq))
         plans = {b: train_res.make_plan(b, epoch) for b in train_res.buckets}
         cursors = {
-            b: jnp.asarray(
+            b: _dev_scalar(
                 sum(1 for x in schedule_seq[:pos_in_epoch] if x == b), jnp.int32
             )
             for b in train_res.buckets
@@ -442,13 +450,13 @@ def main(argv=None):
         # LR as a device scalar refreshed only when the plateau controller
         # moves (per-step host scalars would be a per-step transfer)
         lr_host = scheduler.lr
-        lr_dev = jnp.asarray(lr_host, jnp.float32)
+        lr_dev = _dev_scalar(lr_host, jnp.float32)
 
         def do_step(k):
             nonlocal pos_in_epoch, epoch, plans
             b = schedule_seq[pos_in_epoch]
             st, metrics, cursors[b] = res_train_step(
-                state, train_res.buckets[b], plans[b], cursors[b], k, lr_dev
+                state, train_res.buckets[b], plans[b], cursors[b], _gkey(k), lr_dev
             )
             pos_in_epoch += 1
             if pos_in_epoch == len(schedule_seq):
@@ -511,7 +519,7 @@ def main(argv=None):
                 avg_val_loss = validate(it)
                 if train_res is not None and scheduler.lr != lr_host:
                     lr_host = scheduler.lr
-                    lr_dev = jnp.asarray(lr_host, jnp.float32)
+                    lr_dev = _dev_scalar(lr_host, jnp.float32)
                 if avg_val_loss < best_loss:
                     best_loss = avg_val_loss
                     if not is_coord:

@@ -225,12 +225,16 @@ class DeviceResidentData:
         return self._plan_fn(bsize)(self._base_key, epoch)
 
     def fixed_plan(self, bsize: int) -> jax.Array:
-        """Unshuffled plan (validation): indices in corpus order + padding."""
+        """Unshuffled plan (validation): indices in corpus order + padding.
+        Built host-side and placed through ``put`` so it is a global array
+        under multi-process meshes (a bare jnp array would be process-local
+        and rejected by the SPMD step)."""
         M = self.n_graphs[bsize]
         n_slots = self.n_batches[bsize] * self.batch_size
-        return jnp.concatenate(
-            [jnp.arange(M, dtype=jnp.int32), jnp.full((n_slots - M,), M, jnp.int32)]
+        plan = np.concatenate(
+            [np.arange(M, dtype=np.int32), np.full((n_slots - M,), M, np.int32)]
         )
+        return self._put(plan)
 
 
 def gather_batch(arrays: dict, plan: jax.Array, cursor: jax.Array,
