@@ -199,6 +199,96 @@ def test_two_process_sampling_matches_single_process(tmp_path):
         np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
 
 
+_PROTEIN_RUNNER = textwrap.dedent("""
+    import sys
+    sys.path[:0] = [{repo!r}]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tsdiff_tpu.cli import protein_sampling
+    protein_sampling.main({argv!r})
+""")
+
+
+def test_two_process_protein_sampling_matches_single_process(tmp_path):
+    """Covering-subgraph protein inference over a 2-process mesh matches the
+    single-process 8-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from tsdiff_tpu.config import Config
+    from tsdiff_tpu.core.graph import from_numpy_graphs
+    from tsdiff_tpu.models import get_model
+    from tsdiff_tpu.train import save_checkpoint
+    from tsdiff_tpu.train.trainer import TrainState
+    from tsdiff_tpu.cli import preprocessing
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_pdb import CFG_DSM, _protein_chain, pdb_to_graph
+
+    root = str(tmp_path)
+    with open(os.path.join(root, "a.pdb"), "w") as f:
+        f.write(_protein_chain(5, seed=0))
+    preprocessing.main(["--pdb_glob", os.path.join(root, "*.pdb"),
+                        "--save_dir", root])
+
+    model = get_model(CFG_DSM)
+    g = pdb_to_graph(_protein_chain(5, seed=0))
+    batch = from_numpy_graphs([g], max_nodes=32)
+    params = model.init(
+        jax.random.PRNGKey(0), batch.atom_type, batch.pos, batch.bond_mat,
+        batch.node_mask, time_step=jnp.zeros((1,), jnp.int32),
+    )
+    state = TrainState(params=params, opt_state=None, step=jnp.asarray(0))
+    ckpt = os.path.join(root, "0.ckpt")
+    save_checkpoint(ckpt, Config(model=CFG_DSM.to_dict()), state)
+
+    def argv(out, extra):
+        return [
+            ckpt, "--protein_set", os.path.join(root, "proteins.pkl"),
+            "--save_dir", os.path.join(root, out), "--n_steps", "4",
+            "--step_lr", "1e-6", "--cutoff", "7.0", "--batch_size", "8",
+            "--mesh", "8", *extra,
+        ]
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _PROTEIN_RUNNER.format(repo=REPO, argv=argv("out_mh", [
+                 "--multihost", "--coordinator", f"127.0.0.1:{port}",
+                 "--nprocs", "2", "--procid", str(pid)]))],
+            env={**os.environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4"},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         _PROTEIN_RUNNER.format(repo=REPO, argv=argv("out_sp", []))],
+        env={**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+
+    with open(os.path.join(root, "out_mh", "proteins_gen.pkl"), "rb") as f:
+        r_mh = pickle.load(f)
+    with open(os.path.join(root, "out_sp", "proteins_gen.pkl"), "rb") as f:
+        r_sp = pickle.load(f)
+    assert len(r_mh) == len(r_sp) == 1
+    np.testing.assert_allclose(
+        r_mh[0]["pos_gen"], r_sp[0]["pos_gen"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        r_mh[0]["coverage_counts"], r_sp[0]["coverage_counts"]
+    )
+
+
 @pytest.mark.parametrize("device_data", ["off", "on"])
 def test_two_process_cluster_matches_single_process(tmp_path, device_data):
     cfg_path = _tiny_cfg(str(tmp_path))

@@ -43,10 +43,24 @@ def main(argv=None):
                              "or an explicit dp count")
     parser.add_argument("--write_pdb", action="store_true", default=False,
                         help="also write <save_dir>/<name>_gen.pdb per protein")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="multi-process SPMD (one process per TPU host); "
+                             "only process 0 writes results. Auto-detected on "
+                             "pods; elsewhere pass --coordinator/--nprocs/--procid")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--nprocs", type=int, default=None)
+    parser.add_argument("--procid", type=int, default=None)
     args = parser.parse_args(argv)
 
     import jax
     import numpy as np
+
+    if args.multihost:
+        from tsdiff_tpu.parallel import multihost as _mh
+
+        _mh.initialize(args.coordinator, args.nprocs, args.procid)
+    nproc = jax.process_count()
+    is_coord = jax.process_index() == 0
 
     from tsdiff_tpu.config import Config
     from tsdiff_tpu.data.dataset import load_dataset
@@ -96,14 +110,27 @@ def main(argv=None):
                 raise SystemExit(
                     f"--batch_size {args.batch_size} not divisible by --mesh {dp}"
                 )
+        if nproc > 1 and dp != n_dev:
+            raise SystemExit(
+                f"--multihost requires --batch_size divisible by all "
+                f"{n_dev} global devices (got dp={dp})"
+            )
         if dp > 1:
             mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
-            logger.info(f"subgraph batches sharded over dp={dp} devices")
-            # replicate ONCE; the per-protein replicate inside the sampler
-            # then sees device-resident arrays (no re-transfer)
-            from tsdiff_tpu.parallel import replicate
+            logger.info(
+                f"subgraph batches sharded over dp={dp} devices ({nproc} processes)"
+            )
+            # place params ONCE; the sampler detects already-global/device
+            # arrays and skips re-placement per protein
+            if nproc > 1:
+                from tsdiff_tpu.parallel.multihost import global_from_full
+                from tsdiff_tpu.parallel.sharding import replicated_spec
 
-            params = replicate(params, mesh)
+                params = global_from_full(params, replicated_spec(mesh))
+            else:
+                from tsdiff_tpu.parallel import replicate
+
+                params = replicate(params, mesh)
 
     graphs, _ = load_dataset(args.protein_set)
     graphs = graphs[args.start_idx : args.end_idx]
@@ -152,7 +179,7 @@ def main(argv=None):
             if col in g:
                 entry[col] = g[col]
         results.append(entry)
-        if args.write_pdb:
+        if args.write_pdb and is_coord:
             # index prefix: distinct proteins can share a basename
             base = os.path.basename(str(name)) or "protein"
             out_pdb = os.path.join(args.save_dir, f"{args.start_idx + i:04d}_{base}_gen.pdb")
@@ -160,9 +187,10 @@ def main(argv=None):
                 f.write(write_pdb(g, pos_gen))
 
     out = os.path.join(args.save_dir, "proteins_gen.pkl")
-    with open(out, "wb") as f:
-        pickle.dump(results, f)
-    logger.info(f"Saved {len(results)} results to {out}")
+    if is_coord:  # multi-process: only process 0 writes results
+        with open(out, "wb") as f:
+            pickle.dump(results, f)
+        logger.info(f"Saved {len(results)} results to {out}")
     return out
 
 

@@ -136,22 +136,48 @@ def sample_protein_sidechains(
         res_anchor[r] = pos_in[ca[0]] if len(ca) else pos_in[in_r].mean(0)
     any_nan = False
 
+    _place_batch = _fix_key = _collect = lambda x: x  # noqa: E731
     if mesh is not None:
-        from tsdiff_tpu.parallel import replicate, shard_batch
+        if jax.process_count() > 1:
+            # multi-process mesh: every placement must produce GLOBAL arrays
+            # (parallel/multihost.py); results all-gather so the host-side
+            # ownership logic below sees complete values on every process
+            from tsdiff_tpu.parallel.multihost import (
+                global_from_full,
+                global_key,
+                replicate_output,
+            )
+            from tsdiff_tpu.parallel.sharding import batch_spec, replicated_spec
 
-        params = replicate(params, mesh)
+            leaf = jax.tree_util.tree_leaves(params)[0]
+            if not (isinstance(leaf, jax.Array) and not leaf.is_fully_addressable):
+                params = global_from_full(jax.device_get(params), replicated_spec(mesh))
+            _place_batch = lambda b: global_from_full(b, batch_spec(mesh))  # noqa: E731
+            _fix_key = lambda kk: global_key(kk, mesh)  # noqa: E731
+            _collect = lambda x: replicate_output(x, mesh)  # noqa: E731
+        else:
+            from tsdiff_tpu.parallel import replicate, shard_batch
+
+            params = replicate(params, mesh)
+            _place_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
 
     for chunk, batch in covering_batches(
         graph, cutoff, batch_size, seed, pad_batches=mesh is not None
     ):
         if mesh is not None:
-            batch = shard_batch(batch, mesh)
+            batch = _place_batch(batch)
         sc = batch.is_sidechain
         eps_fn = make_dual_eps_fn(
             model, params, batch, w_global=w_global, clip=clip, is_sidechain=sc
         )
         key, k_init, k_run = jax.random.split(key, 3)
         pos_init = jax.random.normal(k_init, batch.pos.shape)
+        if mesh is not None and jax.process_count() > 1:
+            from tsdiff_tpu.parallel.multihost import global_from_full
+            from tsdiff_tpu.parallel.sharding import batch_spec
+
+            pos_init = global_from_full(np.asarray(pos_init), batch_spec(mesh))
+        k_run = _fix_key(k_run)
         if is_dsm:
             pos, _, nan = dsm_annealed_sampling(
                 eps_fn, np.asarray(model.sigmas), pos_init, batch.node_mask,
@@ -169,7 +195,7 @@ def sample_protein_sidechains(
                 is_sidechain=sc, pos_gt=batch.pos,
             )
         any_nan |= bool(nan)
-        pos = np.asarray(pos)
+        pos = np.asarray(_collect(pos))
         for b, s in enumerate(chunk):
             m = len(s["atom_type"])
             scm = np.asarray(s["is_sidechain"], bool)
