@@ -112,8 +112,9 @@ def main(argv=None):
                 )
         if nproc > 1 and dp != n_dev:
             raise SystemExit(
-                f"--multihost requires --batch_size divisible by all "
-                f"{n_dev} global devices (got dp={dp})"
+                f"--multihost requires the mesh to span all {n_dev} global "
+                f"devices (got dp={dp}; pass --mesh {n_dev} — or 'auto' — "
+                f"with --batch_size divisible by {n_dev})"
             )
         if dp > 1:
             mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])

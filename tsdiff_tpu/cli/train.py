@@ -225,21 +225,18 @@ def main(argv=None):
 
         from tsdiff_tpu.parallel.multihost import (
             global_from_full,
+            global_key,
             make_global_batch,
             make_replicated,
         )
         from tsdiff_tpu.parallel.sharding import replicated_spec as _rspec
 
         to_device = lambda b: make_global_batch(b, mesh)  # noqa: E731
-
-        def _gkey(k):
-            # PRNG keys must enter multi-process jits as global (replicated)
-            # arrays; every process derives identical key data from the
-            # shared seed, so process-local construction is safe
-            kd = _np.asarray(jax.random.key_data(k))
-            return jax.random.wrap_key_data(
-                jax.make_array_from_process_local_data(_rspec(mesh), kd)
-            )
+        # PRNG keys must enter multi-process jits as global arrays; every
+        # process derives identical key data from the shared seed.  The hot
+        # loop globalizes its key ONCE (splits of a global key stay global),
+        # so per-step keys never round-trip through the host.
+        _gkey = lambda k: global_key(k, mesh)  # noqa: E731
 
         def _dev_scalar(x, dt):
             # device scalars (cursors, LR) must also be global, not local
@@ -429,7 +426,9 @@ def main(argv=None):
 
         timer = PhaseTimer()
 
-    key = jax.random.key(config.train.seed + 1)
+    # globalized once: every split of a global key yields global keys, so
+    # the training loop adds no per-step host<->device key traffic
+    key = _gkey(jax.random.key(config.train.seed + 1))
     loss_sum = n_sum = grad_norm_sum = 0.0
     window_iters = 0  # iterations in the current log window (short on resume)
     best_loss = float("inf")
@@ -456,7 +455,7 @@ def main(argv=None):
             nonlocal pos_in_epoch, epoch, plans
             b = schedule_seq[pos_in_epoch]
             st, metrics, cursors[b] = res_train_step(
-                state, train_res.buckets[b], plans[b], cursors[b], _gkey(k), lr_dev
+                state, train_res.buckets[b], plans[b], cursors[b], k, lr_dev
             )
             pos_in_epoch += 1
             if pos_in_epoch == len(schedule_seq):
@@ -469,7 +468,7 @@ def main(argv=None):
         def do_step(k, batch=None):
             if batch is None:
                 batch = next(train_iter)
-            return train_step(state, batch, _gkey(k), scheduler.lr)
+            return train_step(state, batch, k, scheduler.lr)
 
     try:
         for it in range(start_iter, config.train.max_iters + 1):
@@ -522,30 +521,30 @@ def main(argv=None):
                     lr_dev = _dev_scalar(lr_host, jnp.float32)
                 if avg_val_loss < best_loss:
                     best_loss = avg_val_loss
-                    if not is_coord:
-                        pass  # only the coordinator writes checkpoints
-                    elif args.ckpt_backend == "orbax":
-                        from tsdiff_tpu.train.orbax_io import save_checkpoint_orbax
+                    if is_coord:  # only the coordinator writes checkpoints
+                        if args.ckpt_backend == "orbax":
+                            from tsdiff_tpu.train.orbax_io import (
+                                save_checkpoint_orbax,
+                            )
 
-                        # async: the write overlaps the next training steps
-                        save_checkpoint_orbax(
-                            os.path.join(ckpt_dir, f"{it}.orbax"),
-                            config,
-                            jax.device_get(state),
-                            scheduler.state_dict(),
-                            iteration=it,
-                            avg_val_loss=avg_val_loss,
-                        )
-                    else:
-                        save_checkpoint(
-                            os.path.join(ckpt_dir, f"{it}.ckpt"),
-                            config,
-                            jax.device_get(state),
-                            scheduler.state_dict(),
-                            iteration=it,
-                            avg_val_loss=avg_val_loss,
-                        )
-                    if is_coord:
+                            # async: the write overlaps the next training steps
+                            save_checkpoint_orbax(
+                                os.path.join(ckpt_dir, f"{it}.orbax"),
+                                config,
+                                jax.device_get(state),
+                                scheduler.state_dict(),
+                                iteration=it,
+                                avg_val_loss=avg_val_loss,
+                            )
+                        else:
+                            save_checkpoint(
+                                os.path.join(ckpt_dir, f"{it}.ckpt"),
+                                config,
+                                jax.device_get(state),
+                                scheduler.state_dict(),
+                                iteration=it,
+                                avg_val_loss=avg_val_loss,
+                            )
                         logger.info(
                             f"Saved checkpoint at iter {it} (val {avg_val_loss:.6f})"
                         )

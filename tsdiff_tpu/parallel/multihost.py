@@ -30,6 +30,8 @@ parity with the single-process run.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 
@@ -48,6 +50,12 @@ def initialize(
     tests) pass ``coordinator`` ("host:port"), ``num_processes`` and
     ``process_id`` explicitly.  Must run before the first device use.
     """
+    if coordinator is None and (num_processes is not None or process_id is not None):
+        raise ValueError(
+            "--nprocs/--procid were given without --coordinator; explicit "
+            "cluster flags require all three (on TPU pods omit all three "
+            "and the cluster is auto-detected)"
+        )
     kwargs = {}
     if coordinator is not None:
         kwargs = dict(
@@ -102,11 +110,7 @@ def make_replicated(tree, mesh):
     (multi-process replacement for ``device_put(tree, replicated_spec)``)."""
     from tsdiff_tpu.parallel.sharding import replicated_spec
 
-    spec = replicated_spec(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(spec, np.asarray(x)),
-        tree,
-    )
+    return global_from_full(tree, replicated_spec(mesh))
 
 
 def global_from_full(tree, sharding):
@@ -131,13 +135,20 @@ def global_key(key, mesh):
     return jax.random.wrap_key_data(global_from_full(kd, replicated_spec(mesh)))
 
 
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh):
+    # one cached jitted identity per mesh — a fresh jax.jit per call would
+    # retrace + recompile the all-gather for every batch
+    from tsdiff_tpu.parallel.sharding import replicated_spec
+
+    return jax.jit(lambda y: y, out_shardings=replicated_spec(mesh))
+
+
 def replicate_output(x, mesh):
     """Reshard a (possibly dp-sharded) global array to fully-replicated so
     every process can ``np.asarray`` the complete value.  XLA inserts the
     all-gather; ALL processes must call this (it is a collective)."""
-    from tsdiff_tpu.parallel.sharding import replicated_spec
-
-    return jax.jit(lambda y: y, out_shardings=replicated_spec(mesh))(x)
+    return _replicator(mesh)(x)
 
 
 def _leading_dim(batch) -> int:
