@@ -199,6 +199,105 @@ def test_two_process_sampling_matches_single_process(tmp_path):
         np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
 
 
+_SERVE_RUNNER = textwrap.dedent("""
+    import pickle, sys
+    sys.path[:0] = [{repo!r}]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    {init}
+    from tsdiff_tpu.parallel import make_mesh
+    from tsdiff_tpu.serve import SamplerService
+
+    svc = SamplerService(
+        {ckpts!r}, n_steps=6, dtype="float32", max_batch=8,
+        max_wait_s=3.0, seed=5, mesh=make_mesh(dp=4, ens=2),
+    )
+    if svc._is_coord:
+        with open({graphs_pkl!r}, "rb") as f:
+            graphs = pickle.load(f)
+        outs = svc.generate(graphs)
+        svc.close()
+        with open({out_pkl!r}, "wb") as f:
+            pickle.dump(outs, f)
+    else:
+        svc.worker_loop()
+""")
+
+
+def test_two_process_serving_matches_single_process(tmp_path):
+    """SPMD serving: the coordinator batches requests and broadcasts each
+    round; a worker process follows.  Results must match the single-process
+    8-device service."""
+    import jax
+
+    from tsdiff_tpu.models import get_model
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_condensenc import MODEL_CFG, make_batch
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    graphs = make_graph_dicts(rng, [5, 6, 7, 5], feat_dim=8)
+    with open(os.path.join(root, "graphs.pkl"), "wb") as f:
+        pickle.dump(graphs, f)
+    batch = make_batch(rng, [5, 8])
+    model = get_model(MODEL_CFG)
+    ckpts = []
+    for s in range(2):
+        params = model.init(
+            jax.random.key(s),
+            batch.atom_type, batch.r_feat, batch.p_feat,
+            batch.pos, batch.bond_mat, batch.node_mask,
+        )
+        ck = {
+            "format": "tsdiff_tpu.ckpt.v1",
+            "config": {"model": dict(MODEL_CFG)},
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": None, "scheduler": None,
+            "iteration": 1, "avg_val_loss": None,
+        }
+        path = os.path.join(root, f"ens{s}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(ck, f)
+        ckpts.append(path)
+
+    def run(out_name, init, env):
+        return subprocess.Popen(
+            [sys.executable, "-c", _SERVE_RUNNER.format(
+                repo=REPO, init=init, ckpts=ckpts,
+                graphs_pkl=os.path.join(root, "graphs.pkl"),
+                out_pkl=os.path.join(root, out_name),
+            )],
+            env={**os.environ, **env},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    port = _free_port()
+    procs = [
+        run("out_mh.pkl",
+            f"jax.distributed.initialize('127.0.0.1:{port}', 2, {pid})",
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    p = run("out_sp.pkl", "",
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+
+    with open(os.path.join(root, "out_mh.pkl"), "rb") as f:
+        r_mh = pickle.load(f)
+    with open(os.path.join(root, "out_sp.pkl"), "rb") as f:
+        r_sp = pickle.load(f)
+    assert len(r_mh) == len(r_sp) == 4
+    for a, b in zip(r_mh, r_sp):
+        assert a["pos_gen"].shape == b["pos_gen"].shape
+        np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
+
+
 _PROTEIN_RUNNER = textwrap.dedent("""
     import sys
     sys.path[:0] = [{repo!r}]

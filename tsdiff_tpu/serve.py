@@ -109,6 +109,11 @@ class SamplerService:
         )
         self.mesh = mesh
         self._dp = 1
+        self._nproc = jax.process_count()
+        self._is_coord = jax.process_index() == 0
+        self._feat_dim = int(model_cfg.feat_dim)
+        if self._nproc > 1:
+            assert mesh is not None, "multi-process serving requires a mesh"
         if mesh is not None:
             from tsdiff_tpu.parallel import shard_ensemble_params
 
@@ -118,6 +123,23 @@ class SamplerService:
                 assert len(cks) % ens_ax == 0, (
                     f"{len(cks)} ensemble members not divisible by ens={ens_ax}"
                 )
+            if self._nproc > 1:
+                # SPMD serving: the mesh must span every process's devices;
+                # params place as global arrays (ens-sharded or replicated)
+                assert self._dp * ens_ax == len(jax.devices()), (
+                    f"multi-process serving needs the mesh to span all "
+                    f"{len(jax.devices())} global devices "
+                    f"(got dp={self._dp} x ens={ens_ax})"
+                )
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from tsdiff_tpu.parallel.multihost import global_from_full
+
+                spec = NamedSharding(mesh, P("ens") if ens_ax > 1 else P())
+                self.stacked = global_from_full(
+                    jax.device_get(self.stacked), spec
+                )
+            elif ens_ax > 1:
                 self.stacked = shard_ensemble_params(self.stacked, mesh)
             assert max_batch % self._dp == 0, (
                 f"max_batch {max_batch} not divisible by dp={self._dp}"
@@ -143,8 +165,12 @@ class SamplerService:
         # setting _closed, so no request can land behind the shutdown
         # sentinel (its future would never resolve)
         self._submit_lock = threading.Lock()
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        self._worker = None
+        if self._is_coord:
+            # worker processes never batch requests — they follow the
+            # coordinator's broadcasts in worker_loop() instead
+            self._worker = threading.Thread(target=self._loop, daemon=True)
+            self._worker.start()
 
     # -- client API ---------------------------------------------------------
 
@@ -164,6 +190,11 @@ class SamplerService:
             timeout_s = self.default_timeout_s
         deadline = time.monotonic() + timeout_s if timeout_s is not None else None
         req = _Request(graph=graph, future=fut, n_atoms=n, deadline=deadline)
+        if not self._is_coord:
+            raise RuntimeError(
+                "submit() on a worker process — only the coordinator "
+                "accepts requests; this process should run worker_loop()"
+            )
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("service closed")
@@ -209,7 +240,8 @@ class SamplerService:
             except queue.Empty:
                 pass
         self._q.put(None)
-        self._worker.join(timeout=600)
+        if self._worker is not None:
+            self._worker.join(timeout=600)
 
     # -- worker -------------------------------------------------------------
 
@@ -238,6 +270,13 @@ class SamplerService:
         while True:
             reqs = self._collect()
             if reqs is None:
+                if self._nproc > 1:
+                    # release the worker processes out of worker_loop()
+                    from jax.experimental import multihost_utils as mhu
+
+                    mhu.broadcast_one_to_all(
+                        np.asarray([1, 0, 0, 0, 0], np.int32)
+                    )
                 return
             groups: dict[int, list[_Request]] = {}
             buckets = default_buckets(max(r.n_atoms for r in reqs))
@@ -336,6 +375,31 @@ class SamplerService:
         graphs = [r.graph for r in group]
         gpad = graphs + [graphs[-1]] * (tier - len(graphs))
         batch = from_numpy_graphs(gpad, max_nodes=bucket)
+        if self._nproc > 1:
+            # SPMD serving: workers mirror this round from the broadcast
+            # (header, then the batch content); pos_init/keys derive from
+            # the served counter so only the batch itself crosses processes
+            from jax.experimental import multihost_utils as mhu
+
+            batch = jax.tree_util.tree_map(np.asarray, batch)
+            mhu.broadcast_one_to_all(
+                np.asarray([0, bucket, tier, self._served, 0], np.int32)
+            )
+            mhu.broadcast_one_to_all(batch)
+        pos, nan = self._execute(bucket, tier, batch)
+        self._served += len(group)
+        for b, r in enumerate(group):
+            r.future.set_result(
+                {"pos_gen": pos[b, : r.n_atoms].astype(np.float32), "nan": nan}
+            )
+
+    def _execute(self, bucket: int, tier: int, batch):
+        """Device side of one round — identical on every process (the NaN
+        retry branch reads a replicated flag, so all processes take it or
+        none do).  Returns ``(pos (tier, bucket, 3) np, nan bool)``."""
+        import jax
+        import numpy as np
+
         key = jax.random.key(self.seed * 7919 + self._served)
         pos_init = jax.random.normal(
             jax.random.fold_in(key, 1), (tier, bucket, 3)
@@ -343,12 +407,25 @@ class SamplerService:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from tsdiff_tpu.parallel import shard_batch
+            if self._nproc > 1:
+                from tsdiff_tpu.parallel.multihost import (
+                    global_from_full,
+                    global_key,
+                )
+                from tsdiff_tpu.parallel.sharding import batch_spec
 
-            batch = shard_batch(batch, self.mesh)
-            pos_init = jax.device_put(
-                pos_init, NamedSharding(self.mesh, P("dp"))
-            )
+                batch = global_from_full(batch, batch_spec(self.mesh))
+                pos_init = global_from_full(
+                    np.asarray(pos_init), NamedSharding(self.mesh, P("dp"))
+                )
+                key = global_key(key, self.mesh)
+            else:
+                from tsdiff_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+                pos_init = jax.device_put(
+                    pos_init, NamedSharding(self.mesh, P("dp"))
+                )
         runner = self._runners.get(bucket)
         if runner is None:
             runner = self._make_runner()
@@ -363,12 +440,56 @@ class SamplerService:
                 self._runners[(bucket, "retry")] = retry
             res = retry(self.stacked, batch, pos_init, jax.random.fold_in(key, 3))
             nan = bool(np.asarray(res.nan_detected))
-        pos = np.asarray(res.pos)
-        self._served += len(group)
-        for b, r in enumerate(group):
-            r.future.set_result(
-                {"pos_gen": pos[b, : r.n_atoms].astype(np.float32), "nan": nan}
+        out = res.pos
+        if self._nproc > 1:
+            from tsdiff_tpu.parallel.multihost import replicate_output
+
+            out = replicate_output(out, self.mesh)
+        return np.asarray(out), nan
+
+    def _placeholder_batch(self, bucket: int, tier: int):
+        """Shape/dtype twin of a (bucket, tier) batch for the worker side of
+        ``broadcast_one_to_all`` (values ignored on non-source processes)."""
+        import numpy as np
+
+        import jax
+
+        from tsdiff_tpu.core.graph import from_numpy_graphs
+
+        dummy = {
+            "atom_type": np.ones(1, np.int32),
+            "r_feat": np.zeros((1, self._feat_dim), np.float32),
+            "p_feat": np.zeros((1, self._feat_dim), np.float32),
+            "pos": np.zeros((1, 3), np.float32),
+            "bond_mat": np.zeros((1, 1), np.int32),
+        }
+        batch = from_numpy_graphs([dummy] * tier, max_nodes=bucket)
+        return jax.tree_util.tree_map(np.asarray, batch)
+
+    def worker_loop(self):
+        """Non-coordinator entry point for multi-process serving: follow the
+        coordinator's broadcasts (one header + one batch per round) and run
+        the same SPMD computation until the shutdown header arrives.
+
+        Every process constructs the service identically (same checkpoints,
+        mesh, and settings); process 0 serves requests, the rest call this.
+        """
+        import numpy as np
+
+        from jax.experimental import multihost_utils as mhu
+
+        assert not self._is_coord, "worker_loop() is for non-coordinators"
+        assert self._nproc > 1, "worker_loop() requires a multi-process mesh"
+        while True:
+            hdr = mhu.broadcast_one_to_all(np.zeros(5, np.int32))
+            cmd, bucket, tier, served, _ = (int(x) for x in hdr)
+            if cmd == 1:
+                return
+            batch = mhu.broadcast_one_to_all(
+                self._placeholder_batch(bucket, tier)
             )
+            self._served = served  # keys/pos_init derive from this
+            self._execute(bucket, tier, batch)
 
     def _make_runner(self, clip: float | None = None):
         import jax
@@ -431,11 +552,24 @@ def main(argv=None):
                         help="persistent XLA compilation cache dir (or set "
                              "TSDIFF_COMPILE_CACHE): restarted servers skip "
                              "the per-(bucket,tier) compiles")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="multi-process SPMD serving: process 0 runs the "
+                             "HTTP server + batcher, other processes follow "
+                             "its broadcasts (worker_loop). Auto-detected on "
+                             "pods; elsewhere pass --coordinator/--nprocs/--procid")
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--nprocs", type=int, default=None)
+    parser.add_argument("--procid", type=int, default=None)
     args = parser.parse_args(argv)
 
     from tsdiff_tpu.utils.compile_cache import maybe_enable_compile_cache
 
     maybe_enable_compile_cache(args.compile_cache)
+
+    if args.multihost:
+        from tsdiff_tpu.parallel import multihost as _mh
+
+        _mh.initialize(args.coordinator, args.nprocs, args.procid)
 
     mesh = None
     if args.mesh != "none":
@@ -452,6 +586,12 @@ def main(argv=None):
         mesh=mesh, max_pending=args.max_pending,
         default_timeout_s=args.timeout_s,
     )
+
+    if not service._is_coord:
+        # worker process: no HTTP — follow the coordinator's broadcasts
+        # until it shuts down
+        service.worker_loop()
+        return
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
