@@ -298,6 +298,98 @@ def test_two_process_serving_matches_single_process(tmp_path):
         np.testing.assert_allclose(a["pos_gen"], b["pos_gen"], rtol=1e-4, atol=1e-5)
 
 
+_HYBRID_RUNNER = textwrap.dedent("""
+    import pickle, sys
+    sys.path[:0] = [{repo!r}, {tests!r}]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    {init}
+    import numpy as np
+    from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn, stack_params
+    from tsdiff_tpu.diffusion.sampler import SamplingSettings, dynamic_sampling
+    from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from tsdiff_tpu.models import get_model
+    from tsdiff_tpu.parallel import make_hybrid_mesh
+    from tsdiff_tpu.parallel.multihost import (
+        global_from_full, global_key, replicate_output,
+    )
+    from tsdiff_tpu.parallel.sharding import batch_spec
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from test_condensenc import MODEL_CFG, make_batch
+
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng, [5, 7, 6, 8], n_pad=8)
+    model = get_model(MODEL_CFG)
+    schedule = DiffusionSchedule.from_config(MODEL_CFG)
+    init_args = (batch.atom_type, batch.r_feat, batch.p_feat,
+                 batch.pos, batch.bond_mat, batch.node_mask)
+    stacked = stack_params(
+        [model.init(jax.random.key(s), *init_args) for s in range(2)]
+    )
+    pos_init = jax.random.normal(jax.random.key(3), batch.pos.shape)
+    settings = SamplingSettings(sampling_type="ld", n_steps=4)
+
+    # (dp_dcn=2, dp=2, ens=2): in the 2-process run the dp_dcn axis crosses
+    # the process boundary — the multi-slice-over-DCN shape
+    mesh = make_hybrid_mesh(ens=2, num_slices=2)
+    assert mesh.devices.shape == (2, 2, 2)
+    batch = global_from_full(jax.tree.map(np.asarray, batch), batch_spec(mesh))
+    stacked = global_from_full(
+        jax.device_get(stacked), NamedSharding(mesh, P("ens")))
+    pos_init = global_from_full(np.asarray(pos_init), batch_spec(mesh))
+    key = global_key(jax.random.key(4), mesh)
+
+    res = dynamic_sampling(
+        make_ensemble_score_fn(model, stacked, batch),
+        schedule, pos_init, batch.node_mask, key, settings,
+    )
+    pos = np.asarray(replicate_output(res.pos, mesh))
+    if jax.process_index() == 0:
+        with open({out_pkl!r}, "wb") as f:
+            pickle.dump(pos, f)
+""")
+
+
+def test_two_process_hybrid_mesh_sampling(tmp_path):
+    """The (dp_dcn, dp, ens) hybrid mesh with the dp_dcn axis crossing a
+    REAL process boundary — the closest single-machine analog of data
+    parallelism across TPU slices over DCN.  Sampling output must match the
+    same hybrid mesh emulated inside one process."""
+    root = str(tmp_path)
+
+    def run(out_name, init, env):
+        return subprocess.Popen(
+            [sys.executable, "-c", _HYBRID_RUNNER.format(
+                repo=REPO, tests=os.path.join(REPO, "tests"), init=init,
+                out_pkl=os.path.join(root, out_name),
+            )],
+            env={**os.environ, **env},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    port = _free_port()
+    procs = [
+        run("mh.pkl",
+            f"jax.distributed.initialize('127.0.0.1:{port}', 2, {pid})",
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    p = run("sp.pkl", "",
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+
+    with open(os.path.join(root, "mh.pkl"), "rb") as f:
+        pos_mh = pickle.load(f)
+    with open(os.path.join(root, "sp.pkl"), "rb") as f:
+        pos_sp = pickle.load(f)
+    np.testing.assert_allclose(pos_mh, pos_sp, rtol=1e-4, atol=1e-5)
+
+
 _PROTEIN_RUNNER = textwrap.dedent("""
     import sys
     sys.path[:0] = [{repo!r}]
