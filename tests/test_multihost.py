@@ -111,6 +111,40 @@ def _best_val_loss(logdir) -> float:
     return float(ck["avg_val_loss"])
 
 
+def test_two_process_hybrid_train_cli(tmp_path):
+    """Train CLI --mesh_layout hybrid across 2 processes: the dp_dcn axis
+    crosses the process boundary (multi-slice-over-DCN shape), with the
+    device-resident input pipeline.  Loss parity vs single-process hybrid."""
+    cfg_path = _tiny_cfg(str(tmp_path))
+    port = _free_port()
+    hybrid = ["--mesh_layout", "hybrid", "--num_slices", "2",
+              "--device_data", "on"]
+
+    mh_dir = str(tmp_path / "mh")
+    procs = [
+        _spawn([
+            cfg_path, "--logdir", mh_dir, *hybrid,
+            "--multihost", "--coordinator", f"127.0.0.1:{port}",
+            "--nprocs", "2", "--procid", str(pid),
+        ])
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+    mh_loss = _best_val_loss(mh_dir)
+
+    sp_dir = str(tmp_path / "sp")
+    p = _spawn(
+        [cfg_path, "--logdir", sp_dir, *hybrid],
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    out, _ = p.communicate(timeout=540)
+    assert p.returncode == 0, out[-4000:]
+    sp_loss = _best_val_loss(sp_dir)
+    np.testing.assert_allclose(mh_loss, sp_loss, rtol=2e-3)
+
+
 _SAMPLE_RUNNER = textwrap.dedent("""
     import sys
     sys.path[:0] = [{repo!r}]

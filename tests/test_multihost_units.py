@@ -4,8 +4,6 @@ The cluster-level behavior lives in tests/test_multihost.py (heavy: real
 2-process runs); these cover the host-side contract pieces that don't need
 a second process."""
 
-from unittest import mock
-
 import jax
 import numpy as np
 import pytest
@@ -15,7 +13,7 @@ from tsdiff_tpu.parallel.multihost import (
     global_from_full,
     global_key,
     initialize,
-    local_row_block,
+    make_global_batch,
     replicate_output,
 )
 from tsdiff_tpu.parallel.sharding import batch_spec, replicated_spec
@@ -28,19 +26,20 @@ def test_initialize_rejects_partial_flags():
         initialize(None, num_processes=None, process_id=1)
 
 
-def test_local_row_block_ownership():
-    # single process owns everything
-    assert local_row_block(12) == (0, 12)
-    # simulated 4-process cluster: equal contiguous blocks in process order
-    with mock.patch.object(jax, "process_count", return_value=4):
-        with mock.patch.object(jax, "process_index", return_value=2):
-            assert local_row_block(12) == (6, 9)
-        with mock.patch.object(jax, "process_index", return_value=0):
-            assert local_row_block(12) == (0, 3)
-        with mock.patch.object(jax, "process_index", return_value=3):
-            assert local_row_block(12) == (9, 12)
-        with pytest.raises(ValueError, match="does not split"):
-            local_row_block(10)
+def test_make_global_batch_shards_data_axes():
+    """Batch pytrees place over the mesh's data axes — flat (dp) AND hybrid
+    (dp_dcn, dp) — with values preserved."""
+    from tsdiff_tpu.parallel import make_hybrid_mesh
+
+    tree = {
+        "a": np.arange(8 * 5, dtype=np.float32).reshape(8, 5),
+        "b": np.arange(8, dtype=np.int32),
+    }
+    for mesh in (make_mesh(dp=8, ens=1), make_hybrid_mesh(ens=1, num_slices=2)):
+        g = make_global_batch(tree, mesh)
+        np.testing.assert_array_equal(np.asarray(g["a"]), tree["a"])
+        np.testing.assert_array_equal(np.asarray(g["b"]), tree["b"])
+        assert not g["a"].sharding.is_fully_replicated  # leading axis sharded
 
 
 def test_global_from_full_single_process_values():

@@ -52,6 +52,14 @@ def main(argv=None):
                              "local shard of each global batch (parallel/multihost.py). "
                              "On TPU pods the cluster is auto-detected; elsewhere pass "
                              "--coordinator/--nprocs/--procid")
+    parser.add_argument("--mesh_layout", choices=["flat", "hybrid"], default="flat",
+                        help="hybrid: slice-aware (dp_dcn, dp) data parallelism — "
+                             "the outer axis spans TPU slices so its gradient "
+                             "all-reduce rides DCN while per-slice collectives stay "
+                             "on ICI (parallel/sharding.make_hybrid_mesh)")
+    parser.add_argument("--num_slices", type=int, default=None,
+                        help="hybrid layout: slice count (default: auto-detect; "
+                             "CPU emulation needs it explicit)")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multihost coordinator address host:port (omit on TPU pods)")
     parser.add_argument("--nprocs", type=int, default=None,
@@ -209,15 +217,26 @@ def main(argv=None):
     )
     # Mesh: data-parallel over the largest device count dividing the batch
     n_dev = len(jax.devices())
-    dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
-    if nproc > 1 and dp != n_dev:
-        # multi-process jit must span every process's devices, and row
-        # ownership assumes equal per-process blocks
-        raise SystemExit(
-            f"--multihost requires batch_size ({config.train.batch_size}) "
-            f"divisible by the {n_dev} global devices"
-        )
-    mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
+    if args.mesh_layout == "hybrid":
+        from tsdiff_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(ens=1, num_slices=args.num_slices)
+        shape = dict(mesh.shape)
+        dp = shape["dp_dcn"] * shape["dp"]  # total data-parallel extent
+        if config.train.batch_size % dp != 0:
+            raise SystemExit(
+                f"--mesh_layout hybrid: batch_size ({config.train.batch_size}) "
+                f"not divisible by dp_dcn x dp = {dp}"
+            )
+    else:
+        dp = max(d for d in range(1, n_dev + 1) if config.train.batch_size % d == 0)
+        if nproc > 1 and dp != n_dev:
+            # the multi-process jit must span every process's devices
+            raise SystemExit(
+                f"--multihost requires batch_size ({config.train.batch_size}) "
+                f"divisible by the {n_dev} global devices"
+            )
+        mesh = make_mesh(dp=dp, ens=1, devices=jax.devices()[:dp])
 
     # batch placement: single-process device_put vs per-process local shards
     if nproc > 1:
@@ -301,8 +320,12 @@ def main(argv=None):
                 transfer=to_device,
             )
         )
-    logger.info(f"Devices: {n_dev} -> mesh (dp={dp}, ens=1)")
-    if dp < n_dev:
+    logger.info(
+        f"Devices: {n_dev} ({nproc} processes) -> mesh "
+        + (f"{dict(mesh.shape)}" if args.mesh_layout == "hybrid"
+           else f"(dp={dp}, ens=1)")
+    )
+    if args.mesh_layout == "flat" and dp < n_dev:
         logger.warning(
             f"batch_size {config.train.batch_size} not divisible by {n_dev} "
             f"devices; using {dp}-way data parallelism"

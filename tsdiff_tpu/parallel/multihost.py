@@ -12,12 +12,15 @@ and this module supplies the three things multi-process execution needs:
     coordinator/rank flags elsewhere, e.g. the CPU Gloo cluster the suite
     uses);
   * :func:`is_coordinator` — gate checkpoint writes / logging to process 0;
-  * :func:`make_global_batch` — per-process local rows -> one dp-sharded
-    global jax.Array pytree (``jax.make_array_from_process_local_data``).
+  * :func:`make_global_batch` / :func:`global_from_full` — identical full
+    host copies on every process -> global jax.Arrays with any sharding
+    (``jax.make_array_from_callback`` slices each process's addressable
+    shards out of the full copy).
 
 Determinism contract (how every process stays on the SAME program): each
 process builds the IDENTICAL global batch sequence (same corpus file, same
-seed, same bucket schedule) and slices its own row block.  Bucket sizes are
+seed, same bucket schedule); placement slices out the shards its devices
+own.  Bucket sizes are
 part of the compiled shapes, so divergent schedules would deadlock the
 collectives — slicing a shared global plan makes divergence impossible,
 at the cost of each host packing rows it does not feed (negligible next to
@@ -74,35 +77,14 @@ def process_count() -> int:
     return jax.process_count()
 
 
-def local_row_block(n_rows: int) -> tuple[int, int]:
-    """[start, stop) row block of a global batch owned by this process.
-
-    Row ownership must follow the mesh's dp-axis device order; meshes here
-    are built over ``jax.devices()``, which orders devices by process, so
-    contiguous equal blocks in process order are correct.
-    """
-    nproc = jax.process_count()
-    if n_rows % nproc != 0:
-        raise ValueError(
-            f"global batch of {n_rows} rows does not split over "
-            f"{nproc} processes"
-        )
-    rows = n_rows // nproc
-    pid = jax.process_index()
-    return pid * rows, (pid + 1) * rows
-
-
 def make_global_batch(batch, mesh):
-    """IDENTICAL global numpy batch on every process -> dp-sharded global
-    jax.Array pytree; each process transfers only its own row block."""
-    spec = batch_spec(mesh)
-    lo, hi = local_row_block(_leading_dim(batch))
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            spec, np.asarray(x)[lo:hi]
-        ),
-        batch,
-    )
+    """IDENTICAL global numpy batch on every process -> global jax.Array
+    pytree sharded over the mesh's data axes (``dp``, plus ``dp_dcn`` on
+    hybrid meshes).  Callback-based placement: each process transfers only
+    its addressable shards, and row ownership follows the sharding's own
+    index map — correct for ANY device ordering (flat process-contiguous
+    meshes and slice-grouped hybrid meshes alike)."""
+    return global_from_full(batch, batch_spec(mesh))
 
 
 def make_replicated(tree, mesh):
@@ -151,8 +133,3 @@ def replicate_output(x, mesh):
     return _replicator(mesh)(x)
 
 
-def _leading_dim(batch) -> int:
-    leaves = jax.tree.leaves(batch)
-    if not leaves:
-        raise ValueError("empty batch")
-    return int(np.asarray(leaves[0]).shape[0])
