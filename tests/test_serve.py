@@ -241,6 +241,23 @@ def test_backpressure_rejects_when_full(gated_service):
     assert first.result(timeout=60) is not None
 
 
+def test_submit_validates_feat_width(tiny_ckpt):
+    """A malformed request fails ITS OWN submit call (in multi-process
+    serving it would otherwise desync the broadcast against the workers'
+    model-config-derived placeholders and wedge the cluster)."""
+    svc = SamplerService([tiny_ckpt], n_steps=4, dtype="float32", max_batch=4)
+    try:
+        rng = np.random.default_rng(0)
+        bad = make_graph_dicts(rng, [5], feat_dim=FEAT + 3)[0]
+        with pytest.raises(ValueError, match="feat_dim"):
+            svc.submit(bad)
+        # a well-formed request still serves afterwards
+        ok = make_graph_dicts(rng, [5], feat_dim=FEAT)[0]
+        assert svc.submit(ok).result(timeout=120)["pos_gen"].shape == (5, 3)
+    finally:
+        svc.close(drain=False)
+
+
 def test_timeout_and_cancel(gated_service):
     import time as _time
 

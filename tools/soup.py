@@ -7,8 +7,8 @@ trajectory (the full_campaign setting), averaging the WEIGHTS instead
 ("model soup" / LAWA-style trajectory averaging) collapses the ensemble
 into a single network — same per-step cost as one member, i.e. ~Kx the
 sampling throughput of a K-member ensemble — whenever the quality holds.
-tools/soup_experiment.py measures that tradeoff end-to-end; this tool just
-builds the soup.
+tools/soup_experiment.py reproduces the DEMO.md soup-vs-ensemble
+measurement end-to-end; this tool just builds the soup.
 
 Usage:
     python tools/soup.py CKPT1 CKPT2 ... --out soup.ckpt [--use_ema]
@@ -32,7 +32,7 @@ def soup_checkpoints(paths: list[str], use_ema: bool = False) -> dict:
 
     import jax
 
-    from tsdiff_tpu.train import load_checkpoint
+    from tsdiff_tpu.train import load_checkpoint, select_params
 
     cks = [load_checkpoint(p) for p in paths]
     model_cfgs = [ck["config"].get("model") for ck in cks]
@@ -40,12 +40,7 @@ def soup_checkpoints(paths: list[str], use_ema: bool = False) -> dict:
         raise ValueError("checkpoints disagree on the model config; "
                          "souping requires identical architectures")
 
-    def pick(ck):
-        if use_ema and ck.get("ema_params") is not None:
-            return ck["ema_params"]
-        return ck["params"]
-
-    trees = [pick(ck) for ck in cks]
+    trees = [select_params(ck, use_ema)[0] for ck in cks]
     mean = jax.tree_util.tree_map(
         lambda *leaves: np.mean(np.stack([np.asarray(x) for x in leaves]), axis=0),
         *trees,

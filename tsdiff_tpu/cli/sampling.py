@@ -145,13 +145,13 @@ def main(argv=None):
         if "beta_schedule" in model_cfg
         else None  # dsm models use their sigma ladder instead
     )
+    from tsdiff_tpu.train import select_params
+
     def _pick_params(ck):
-        if args.use_ema:
-            if ck.get("ema_params") is None:
-                logger.warning("--use_ema: checkpoint has no EMA weights; using raw params")
-            else:
-                return ck["ema_params"]
-        return ck["params"]
+        params, used_ema = select_params(ck, args.use_ema)
+        if args.use_ema and not used_ema:
+            logger.warning("--use_ema: checkpoint has no EMA weights; using raw params")
+        return params
 
     stacked = stack_params(
         [jax.tree_util.tree_map(jnp.asarray, _pick_params(ck)) for ck in cks]

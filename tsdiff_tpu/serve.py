@@ -85,7 +85,7 @@ class SamplerService:
         from tsdiff_tpu.diffusion.ensemble import stack_params
         from tsdiff_tpu.diffusion.schedules import DiffusionSchedule
         from tsdiff_tpu.models import get_model
-        from tsdiff_tpu.train import load_checkpoint
+        from tsdiff_tpu.train import load_checkpoint, select_params
 
         cks = [load_checkpoint(p) for p in ckpt_paths]
         model_cfg = Config(cks[0]["config"]).model
@@ -99,21 +99,21 @@ class SamplerService:
         )
         self.schedule = DiffusionSchedule.from_config(model_cfg)
 
-        def pick(ck):
-            if use_ema and ck.get("ema_params") is not None:
-                return ck["ema_params"]
-            return ck["params"]
-
         self.stacked = stack_params(
-            [jax.tree_util.tree_map(jnp.asarray, pick(ck)) for ck in cks]
+            [jax.tree_util.tree_map(jnp.asarray, select_params(ck, use_ema)[0])
+             for ck in cks]
         )
         self.mesh = mesh
         self._dp = 1
         self._nproc = jax.process_count()
         self._is_coord = jax.process_index() == 0
         self._feat_dim = int(model_cfg.feat_dim)
-        if self._nproc > 1:
-            assert mesh is not None, "multi-process serving requires a mesh"
+        if self._nproc > 1 and mesh is None:
+            raise ValueError(
+                "multi-process serving requires a mesh spanning all global "
+                "devices (e.g. SamplerService(..., mesh=make_mesh(dp=D, "
+                "ens=E)); the CLI flag is --mesh D,E)"
+            )
         if mesh is not None:
             from tsdiff_tpu.parallel import shard_ensemble_params
 
@@ -194,6 +194,23 @@ class SamplerService:
             raise RuntimeError(
                 "submit() on a worker process — only the coordinator "
                 "accepts requests; this process should run worker_loop()"
+            )
+        # validate the shape contract HERE, failing only this request: a
+        # malformed graph reaching the batcher would (multi-process) desync
+        # the broadcast collective against the workers' model-config-derived
+        # placeholders and wedge the whole cluster
+        for feat in ("r_feat", "p_feat"):
+            width = int(np.asarray(graph[feat]).shape[-1])
+            if width != self._feat_dim:
+                raise ValueError(
+                    f"{feat} width {width} != model feat_dim {self._feat_dim}"
+                )
+        if n < 1:
+            raise ValueError("empty graph")
+        if self._nproc > 1 and graph.get("is_sidechain") is not None:
+            raise ValueError(
+                "is_sidechain graphs are not servable multi-process (the "
+                "broadcast placeholder is molecular); use protein_sampling"
             )
         with self._submit_lock:
             if self._closed:
@@ -480,16 +497,32 @@ class SamplerService:
 
         assert not self._is_coord, "worker_loop() is for non-coordinators"
         assert self._nproc > 1, "worker_loop() requires a multi-process mesh"
+        placeholders: dict[tuple[int, int], object] = {}
         while True:
             hdr = mhu.broadcast_one_to_all(np.zeros(5, np.int32))
             cmd, bucket, tier, served, _ = (int(x) for x in hdr)
             if cmd == 1:
                 return
-            batch = mhu.broadcast_one_to_all(
-                self._placeholder_batch(bucket, tier)
-            )
+            ph = placeholders.get((bucket, tier))
+            if ph is None:  # values are ignored on non-source hosts: cache
+                ph = placeholders[(bucket, tier)] = self._placeholder_batch(
+                    bucket, tier
+                )
+            batch = mhu.broadcast_one_to_all(ph)
             self._served = served  # keys/pos_init derive from this
-            self._execute(bucket, tier, batch)
+            try:
+                self._execute(bucket, tier, batch)
+            except Exception as e:  # noqa: BLE001
+                # _execute runs AFTER both broadcasts and is the same SPMD
+                # program on every process, so a failure here hits the
+                # coordinator's round too (its _loop catches, fails the
+                # chunk's futures, and keeps serving) — mirror that per-round
+                # containment instead of letting the worker die and zombify
+                # the broadcast protocol
+                import sys as _sys
+
+                print(f"worker round failed (contained): {e!r}",
+                      file=_sys.stderr)
 
     def _make_runner(self, clip: float | None = None):
         import jax
@@ -567,6 +600,11 @@ def main(argv=None):
     maybe_enable_compile_cache(args.compile_cache)
 
     if args.multihost:
+        if args.mesh == "none":
+            raise SystemExit(
+                "--multihost requires --mesh DP,ENS spanning all global "
+                "devices (e.g. --mesh 8,1 on two 4-chip hosts)"
+            )
         from tsdiff_tpu.parallel import multihost as _mh
 
         _mh.initialize(args.coordinator, args.nprocs, args.procid)

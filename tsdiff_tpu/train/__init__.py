@@ -13,6 +13,7 @@ from tsdiff_tpu.train.trainer import (  # noqa: F401
     init_model_params,
     init_train_state,
     load_checkpoint,
+    select_params,
     restore_opt_state,
     make_eval_step,
     make_optimizer,

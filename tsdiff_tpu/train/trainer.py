@@ -306,6 +306,15 @@ def load_checkpoint(path: str) -> dict:
     return payload
 
 
+def select_params(ck: dict, use_ema: bool) -> tuple[dict, bool]:
+    """EMA-or-raw parameter selection shared by sampling/serving/soup:
+    returns ``(params, used_ema)`` — EMA weights when asked for AND present,
+    else the raw params (callers warn on the False case as they see fit)."""
+    if use_ema and ck.get("ema_params") is not None:
+        return ck["ema_params"], True
+    return ck["params"], False
+
+
 def get_checkpoint_path(ckpt_dir: str, it: int | None = None) -> tuple[str, int]:
     """Latest (or specific) '<iteration>.ckpt' file or '<iteration>.orbax'
     directory in a directory (reference utils/misc.py:106-113)."""
