@@ -57,10 +57,49 @@ def test_service_batches_and_resolves(tiny_ckpt):
             assert np.isfinite(r["pos_gen"]).all()
             assert r["nan"] is False
         # sizes 5/7/6 share the N=8 bucket; 12 lands in N=16 -> 2 compilations
-        assert set(svc._runners) == {8, 16}
+        assert set(svc._runners) == {(8, 0), (16, 0)}
         assert svc._served == 4
     finally:
         svc.close()
+
+
+def test_service_draft_quality_tier(tiny_ckpt):
+    """Draft (respaced) and full requests batch separately, run different
+    compiled programs, and both resolve; draft without a configured tier is
+    rejected."""
+    rng = np.random.default_rng(3)
+    graphs = make_graph_dicts(rng, [5, 6, 7, 6], feat_dim=FEAT)
+    svc = SamplerService(
+        [tiny_ckpt], n_steps=8, dtype="float32", max_batch=4,
+        max_wait_s=0.2, draft_respacing=2,
+    )
+    try:
+        futs = [
+            svc.submit(graphs[0], quality="full"),
+            svc.submit(graphs[1], quality="draft"),
+            svc.submit(graphs[2], quality="draft"),
+            svc.submit(graphs[3], quality="full"),
+        ]
+        for g, f in zip(graphs, futs):
+            r = f.result(timeout=120)
+            assert r["pos_gen"].shape == (len(g["atom_type"]), 3)
+            assert np.isfinite(r["pos_gen"]).all()
+        # one full program and one 2-step draft program, same N=8 bucket
+        assert set(svc._runners) == {(8, 0), (8, 2)}
+    finally:
+        svc.close()
+
+    svc2 = SamplerService([tiny_ckpt], n_steps=8, dtype="float32", max_batch=4)
+    try:
+        with pytest.raises(ValueError, match="no draft tier"):
+            svc2.submit(graphs[0], quality="draft")
+        with pytest.raises(ValueError, match="quality must be"):
+            svc2.submit(graphs[0], quality="fast")
+    finally:
+        svc2.close()
+    with pytest.raises(ValueError, match="draft_respacing"):
+        SamplerService([tiny_ckpt], n_steps=8, dtype="float32",
+                       draft_respacing=9)
 
 
 def test_http_front_end(tiny_ckpt):
@@ -197,7 +236,7 @@ def gated_service(tiny_ckpt, monkeypatch):
     gate = threading.Event()
     ran = []
 
-    def fake_run_group(self, bucket, group, tier):
+    def fake_run_group(self, bucket, group, tier, respacing=0):
         assert gate.wait(60), "test gate never opened"
         for r in group:
             if not r.future.done():
@@ -307,7 +346,7 @@ def test_worker_survives_cancelled_expired_request(gated_service):
 def test_close_drains_queued_requests(tiny_ckpt, monkeypatch):
     ran = []
 
-    def fake_run_group(self, bucket, group, tier):
+    def fake_run_group(self, bucket, group, tier, respacing=0):
         for r in group:
             if not r.future.done():
                 r.future.set_result(

@@ -59,6 +59,13 @@ def main(argv=None):
     parser.add_argument("--n_steps", type=int, default=5000)
     parser.add_argument("--sampling_type", type=str, default="ld",
                         help="ld | ddpm | ddpm_noisy | ddpm_det | generalized")
+    parser.add_argument("--timestep_respacing", type=int, default=None,
+                        help="walk an evenly-strided M-step subsequence of the "
+                             "n_steps window instead of every step (DDIM-style "
+                             "respacing; each update pairs timestep i with the "
+                             "previous subsequence element). Cuts per-sample cost "
+                             "~n_steps/M; quality-gated in tests/test_respacing.py "
+                             "and BENCH_NOTES.md")
     parser.add_argument("--eta", type=float, default=1.0)
     parser.add_argument("--step_lr", type=float, default=1e-7)
     parser.add_argument("--seed", type=int, default=2022)
@@ -219,6 +226,16 @@ def main(argv=None):
     done_smiles = set()
     results = []
     if args.resume is not None:
+        if nproc > 1 and not os.path.exists(args.resume):
+            # every process derives done_smiles from the same file; a resume
+            # pickle present only on the coordinator's disk would desync the
+            # collective-based cluster mid-campaign — fail fast instead
+            raise SystemExit(
+                f"--resume {args.resume}: not found on process "
+                f"{jax.process_index()}. Under --multihost the resume pickle "
+                "must be on a path visible to ALL processes (shared "
+                "filesystem, or copy it to each host first)."
+            )
         with open(args.resume, "rb") as f:
             results = pickle.load(f)
         done_smiles = {g.get("smiles") for g in results}
@@ -237,7 +254,7 @@ def main(argv=None):
 
     dp_mult = dp_axis if mesh is not None else 1
     base_tier = _ceil_to(args.batch_size, dp_mult)
-    tiers = tier_ladder(base_tier, dp_mult)
+    tiers = tier_ladder(base_tier, dp_mult, max_tiers=3)
 
     def _tier(n: int) -> int:
         return min((t for t in tiers if t >= n), default=base_tier)
@@ -261,6 +278,7 @@ def main(argv=None):
             denoise_from_time_t=args.denoise_from_time_t,
             noise_from_time_t=args.noise_from_time_t,
             save_traj=args.save_traj,
+            timestep_respacing=args.timestep_respacing,
         )
         from tsdiff_tpu.models.dualenc import DualEncoderEpsNetwork
 

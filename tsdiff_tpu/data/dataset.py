@@ -121,13 +121,20 @@ def default_buckets(max_nodes: int, multiple: int = 8) -> list[int]:
     return list(range(multiple, top + 1, multiple))
 
 
-def tier_ladder(base: int, dp: int = 1) -> list[int]:
+def tier_ladder(base: int, dp: int = 1, max_tiers: int | None = None) -> list[int]:
     """Descending batch-row tiers: ``base`` halved (floor) while the result
     stays >= max(4, dp) AND a multiple of dp — every tier must shard evenly
     over the dp mesh axis.  Shared by the sampling CLI and the serving
-    batcher so the sharding invariant lives in one place."""
+    batcher so the sharding invariant lives in one place.
+
+    ``max_tiers`` caps ladder depth: each tier costs one XLA compilation of
+    the full sampling scan per bucket, so batch campaigns cap at 3 (padding
+    waste on the one tail batch is cheaper than two extra compiles), while
+    the serving batcher keeps the full ladder for latency tiering."""
     ladder = [int(base)]
     while ladder[-1] // 2 >= max(4, dp) and (ladder[-1] // 2) % dp == 0:
+        if max_tiers is not None and len(ladder) >= max_tiers:
+            break
         ladder.append(ladder[-1] // 2)
     return ladder
 

@@ -65,6 +65,15 @@ class SamplingSettings:
     denoise_from_time_t: int | None = None
     noise_from_time_t: int | None = None
     save_traj: bool = False
+    #: When set to m < n_steps, walk an evenly-strided m-element SUBSEQUENCE
+    #: of the n_steps window instead of every step (DDIM-style respacing:
+    #: each update pairs timestep i with j = the previous subsequence element
+    #: rather than i - 1, so alpha_j jumps multiple schedule entries at once).
+    #: The reference's own `generalized` rule is built for exactly this kind
+    #: of step skipping (reference dualenc.py:871-908); the ddpm variants
+    #: respace the same way (the (at, atm1) algebra is unchanged — only which
+    #: j each i pairs with).  Quality-gated in tests/test_respacing.py.
+    timestep_respacing: int | None = None
 
 
 class StepCoeffs(NamedTuple):
@@ -91,6 +100,13 @@ def build_step_coeffs(
     ``seq_next = [-1] + seq[:-1]`` so j = i - 1 except the final step where
     j = -1 and alpha_{j} = 1 (the prepended-zero-beta trick of
     ``compute_alpha``, reference sampler.py:138-141).
+
+    With ``settings.timestep_respacing = m < n_steps``, ``seq`` becomes an
+    evenly-strided m-element subsequence of the same window (endpoints
+    included), and j is the PREVIOUS SUBSEQUENCE element — the standard DDIM
+    respacing construction.  All update-rule formulas below are written in
+    terms of (alpha_i, alpha_j) and remain valid verbatim; only the i -> j
+    pairing changes.
     """
     alphas = np.asarray(schedule.alphas, dtype=np.float64)
     T = alphas.shape[0]
@@ -101,17 +117,39 @@ def build_step_coeffs(
     if not (t_end >= n):
         raise ValueError(f"denoise window [{t_end - n}, {t_end}) invalid: t_end >= n_steps required")
 
-    i_arr = np.arange(t_end - 1, t_end - n - 1, -1)          # descending
-    j_arr = np.where(i_arr == t_end - n, -1, i_arr - 1)
+    m = settings.timestep_respacing
+    if m is not None and not (1 <= m <= n):
+        raise ValueError(f"timestep_respacing={m} must be in [1, n_steps={n}]")
+    if m is None or m >= n:
+        i_arr = np.arange(t_end - 1, t_end - n - 1, -1)      # descending
+    else:
+        # evenly-strided subsequence of [t_end - n, t_end), both window
+        # endpoints kept (the final step must still land on t_end - n so the
+        # physical-frame rescale factor is unchanged); descending order
+        i_arr = np.unique(
+            np.round(np.linspace(t_end - n, t_end - 1, m)).astype(np.int64)
+        )[::-1].copy()
+    # j = previous element of the walked sequence; the lowest element pairs
+    # with -1 (alpha = 1), exactly as the reference's prepended seq_next
+    j_arr = np.concatenate([i_arr[1:], [-1]])
 
     at = alphas[i_arr]
     atm1 = np.where(j_arr >= 0, alphas[np.maximum(j_arr, 0)], 1.0)
     sig_i = sigmas[i_arr]
     noise_mask = (i_arr != 0).astype(np.float64)  # no noise at t == 0
+    # schedule entries consumed by each step (all 1 when contiguous; under
+    # respacing the LD-family step sizes scale with the gap — the coarser
+    # Euler-Maruyama discretization of the SAME annealed-Langevin SDE: drift
+    # scales with the consumed step count, noise variance likewise).  The
+    # final step's j is the alpha=1 sentinel (-1), NOT a schedule index, so
+    # its gap is measured to one-below-the-window-floor instead (1 for a
+    # contiguous walk regardless of where the window sits).
+    gap = (i_arr - j_arr).astype(np.float64)
+    gap[-1] = i_arr[-1] - (t_end - n - 1)
 
     st = settings.sampling_type
     if st == "ld":
-        step = settings.step_lr * (sig_i / 0.01) ** 2
+        step = settings.step_lr * (sig_i / 0.01) ** 2 * gap
         a = np.ones_like(at)
         b = step / sig_i
         c = np.sqrt(2.0 * step)
@@ -142,10 +180,12 @@ def build_step_coeffs(
         eta = settings.eta
         c1 = eta * np.sqrt((1.0 - at / atm1) * (1.0 - atm1) / (1.0 - at))
         c2 = np.sqrt(np.maximum((1.0 - atm1) - c1**2, 0.0))
-        step_pos_ld = settings.step_lr * (sig_i / 0.01) ** 2 / sig_i
+        # the DDIM-side quantities (c1/c2/step_pos_gen) are already gap-aware
+        # through atm1; only the LD-derived clamps scale with the gap
+        step_pos_ld = settings.step_lr * (sig_i / 0.01) ** 2 * gap / sig_i
         step_pos_gen = 5.0 * (np.sqrt(1.0 - at) / np.sqrt(at) - c2 / np.sqrt(atm1))
         step_pos = np.minimum(step_pos_ld, step_pos_gen)
-        step_noise_ld = np.sqrt(settings.step_lr * (sig_i / 0.01) ** 2 * 2.0)
+        step_noise_ld = np.sqrt(settings.step_lr * (sig_i / 0.01) ** 2 * gap * 2.0)
         step_noise_gen = 3.0 * (c1 / np.sqrt(atm1))
         step_noise = np.minimum(step_noise_ld, step_noise_gen)
         a = np.ones_like(at)

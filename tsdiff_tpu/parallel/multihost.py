@@ -59,6 +59,12 @@ def initialize(
             "cluster flags require all three (on TPU pods omit all three "
             "and the cluster is auto-detected)"
         )
+    if coordinator is not None and (num_processes is None or process_id is None):
+        raise ValueError(
+            "--coordinator was given without --nprocs/--procid; explicit "
+            "cluster flags require all three (on TPU pods omit all three "
+            "and the cluster is auto-detected)"
+        )
     kwargs = {}
     if coordinator is not None:
         kwargs = dict(

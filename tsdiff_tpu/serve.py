@@ -39,6 +39,7 @@ class _Request:
     future: Future
     n_atoms: int
     deadline: float | None = None  # time.monotonic() cutoff, None = no limit
+    respacing: int | None = None   # draft tier: strided step count (None = full)
 
 
 class SamplerService:
@@ -66,6 +67,7 @@ class SamplerService:
         mesh=None,
         max_pending: int | None = None,
         default_timeout_s: float | None = None,
+        draft_respacing: int | None = None,
     ):
         """``mesh``: optional Mesh with a ``dp`` axis — bucket batches shard
         over devices, stacked ensemble params shard over ``ens`` when the
@@ -77,7 +79,14 @@ class SamplerService:
 
         ``default_timeout_s``: server-side deadline applied to every request
         that doesn't pass its own ``timeout_s``; expired requests are failed
-        with ``TimeoutError`` instead of occupying a batch slot."""
+        with ``TimeoutError`` instead of occupying a batch slot.
+
+        ``draft_respacing``: step count of the fast-draft quality tier —
+        requests submitted with ``quality="draft"`` run a DDIM-respaced
+        ``draft_respacing``-step walk of the same ``n_steps`` window
+        (~``n_steps/draft_respacing``x cheaper; quality delta measured in
+        artifacts/respacing_curve.json).  Draft and full requests batch
+        separately (different compiled programs)."""
         import jax
         import jax.numpy as jnp
 
@@ -148,6 +157,11 @@ class SamplerService:
         self.sampling_type = sampling_type
         self.step_lr = step_lr
         self.clip = clip
+        if draft_respacing is not None and not (1 <= draft_respacing <= n_steps):
+            raise ValueError(
+                f"draft_respacing={draft_respacing} must be in [1, n_steps={n_steps}]"
+            )
+        self.draft_respacing = draft_respacing
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.seed = seed
@@ -174,22 +188,42 @@ class SamplerService:
 
     # -- client API ---------------------------------------------------------
 
-    def submit(self, graph: dict, timeout_s: float | None = None) -> Future:
+    def submit(
+        self,
+        graph: dict,
+        timeout_s: float | None = None,
+        quality: str = "full",
+    ) -> Future:
         """Enqueue one graph; returns a Future resolving to
         ``{"pos_gen", "nan"}``.
 
         Raises :class:`ServiceOverloaded` when the bounded queue is full.
         ``timeout_s`` sets a server-side deadline (fails with ``TimeoutError``
         if the request hasn't STARTED by then); cancel an unstarted request
-        with ``future.cancel()`` — it then never occupies a batch slot."""
+        with ``future.cancel()`` — it then never occupies a batch slot.
+
+        ``quality``: ``"full"`` (every diffusion step) or ``"draft"`` (the
+        respaced fast tier; requires the service to be constructed with
+        ``draft_respacing``)."""
         import numpy as np
 
+        if quality not in ("full", "draft"):
+            raise ValueError(f"quality must be 'full' or 'draft', got {quality!r}")
+        respacing = None
+        if quality == "draft":
+            if self.draft_respacing is None:
+                raise ValueError(
+                    "draft-quality request but the service has no draft tier "
+                    "(pass draft_respacing=... / --draft_respacing)"
+                )
+            respacing = self.draft_respacing
         fut: Future = Future()
         n = int(np.asarray(graph["atom_type"]).shape[0])
         if timeout_s is None:
             timeout_s = self.default_timeout_s
         deadline = time.monotonic() + timeout_s if timeout_s is not None else None
-        req = _Request(graph=graph, future=fut, n_atoms=n, deadline=deadline)
+        req = _Request(graph=graph, future=fut, n_atoms=n, deadline=deadline,
+                       respacing=respacing)
         if not self._is_coord:
             raise RuntimeError(
                 "submit() on a worker process — only the coordinator "
@@ -224,13 +258,18 @@ class SamplerService:
                 ) from None
         return fut
 
-    def generate(self, graphs: list[dict], timeout_s: float | None = None) -> list[dict]:
+    def generate(
+        self,
+        graphs: list[dict],
+        timeout_s: float | None = None,
+        quality: str = "full",
+    ) -> list[dict]:
         """Blocking convenience: submit all, wait for all.  All-or-nothing:
         if the queue fills mid-submit the already-queued part is cancelled."""
         futs: list[Future] = []
         try:
             for g in graphs:
-                futs.append(self.submit(g, timeout_s=timeout_s))
+                futs.append(self.submit(g, timeout_s=timeout_s, quality=quality))
         except ServiceOverloaded:
             for f in futs:
                 f.cancel()
@@ -295,11 +334,14 @@ class SamplerService:
                         np.asarray([1, 0, 0, 0, 0], np.int32)
                     )
                 return
-            groups: dict[int, list[_Request]] = {}
+            # group key: (bucket, respacing) — draft- and full-quality
+            # requests run different compiled programs so they batch apart
+            groups: dict[tuple[int, int], list[_Request]] = {}
             buckets = default_buckets(max(r.n_atoms for r in reqs))
             for r in reqs:
-                groups.setdefault(pick_bucket(r.n_atoms, buckets), []).append(r)
-            for bucket, group in sorted(groups.items()):
+                k = (pick_bucket(r.n_atoms, buckets), r.respacing or 0)
+                groups.setdefault(k, []).append(r)
+            for (bucket, respacing), group in sorted(groups.items()):
                 # shed expired / client-cancelled requests before planning
                 # tiers; set_running_or_notify_cancel makes surviving
                 # requests uncancellable from here on
@@ -327,7 +369,7 @@ class SamplerService:
                     chunk = live[i : i + tier]
                     i += tier
                     try:
-                        self._run_group(bucket, chunk, tier)
+                        self._run_group(bucket, chunk, tier, respacing)
                     except Exception as e:  # noqa: BLE001 - propagate to callers
                         for r in chunk:
                             if not r.future.done():
@@ -381,7 +423,9 @@ class SamplerService:
                 tier = t
         return tier
 
-    def _run_group(self, bucket: int, group: list[_Request], tier: int):
+    def _run_group(
+        self, bucket: int, group: list[_Request], tier: int, respacing: int = 0
+    ):
         import jax
         import numpy as np
 
@@ -395,22 +439,23 @@ class SamplerService:
         if self._nproc > 1:
             # SPMD serving: workers mirror this round from the broadcast
             # (header, then the batch content); pos_init/keys derive from
-            # the served counter so only the batch itself crosses processes
+            # the served counter so only the batch itself crosses processes;
+            # the 5th header slot carries the draft tier's respacing (0=full)
             from jax.experimental import multihost_utils as mhu
 
             batch = jax.tree_util.tree_map(np.asarray, batch)
             mhu.broadcast_one_to_all(
-                np.asarray([0, bucket, tier, self._served, 0], np.int32)
+                np.asarray([0, bucket, tier, self._served, respacing], np.int32)
             )
             mhu.broadcast_one_to_all(batch)
-        pos, nan = self._execute(bucket, tier, batch)
+        pos, nan = self._execute(bucket, tier, batch, respacing)
         self._served += len(group)
         for b, r in enumerate(group):
             r.future.set_result(
                 {"pos_gen": pos[b, : r.n_atoms].astype(np.float32), "nan": nan}
             )
 
-    def _execute(self, bucket: int, tier: int, batch):
+    def _execute(self, bucket: int, tier: int, batch, respacing: int = 0):
         """Device side of one round — identical on every process (the NaN
         retry branch reads a replicated flag, so all processes take it or
         none do).  Returns ``(pos (tier, bucket, 3) np, nan bool)``."""
@@ -443,18 +488,18 @@ class SamplerService:
                 pos_init = jax.device_put(
                     pos_init, NamedSharding(self.mesh, P("dp"))
                 )
-        runner = self._runners.get(bucket)
+        runner = self._runners.get((bucket, respacing))
         if runner is None:
-            runner = self._make_runner()
-            self._runners[bucket] = runner
+            runner = self._make_runner(respacing=respacing)
+            self._runners[(bucket, respacing)] = runner
         res = runner(self.stacked, batch, pos_init, jax.random.fold_in(key, 2))
         nan = bool(np.asarray(res.nan_detected)) if res.nan_detected is not None else False
         if nan and self.clip > 20.0:
             # same policy as the sampling CLI: one retry at clip 20
-            retry = self._runners.get((bucket, "retry"))
+            retry = self._runners.get((bucket, respacing, "retry"))
             if retry is None:
-                retry = self._make_runner(clip=20.0)
-                self._runners[(bucket, "retry")] = retry
+                retry = self._make_runner(clip=20.0, respacing=respacing)
+                self._runners[(bucket, respacing, "retry")] = retry
             res = retry(self.stacked, batch, pos_init, jax.random.fold_in(key, 3))
             nan = bool(np.asarray(res.nan_detected))
         out = res.pos
@@ -500,7 +545,7 @@ class SamplerService:
         placeholders: dict[tuple[int, int], object] = {}
         while True:
             hdr = mhu.broadcast_one_to_all(np.zeros(5, np.int32))
-            cmd, bucket, tier, served, _ = (int(x) for x in hdr)
+            cmd, bucket, tier, served, respacing = (int(x) for x in hdr)
             if cmd == 1:
                 return
             ph = placeholders.get((bucket, tier))
@@ -511,7 +556,7 @@ class SamplerService:
             batch = mhu.broadcast_one_to_all(ph)
             self._served = served  # keys/pos_init derive from this
             try:
-                self._execute(bucket, tier, batch)
+                self._execute(bucket, tier, batch, respacing)
             except Exception as e:  # noqa: BLE001
                 # _execute runs AFTER both broadcasts and is the same SPMD
                 # program on every process, so a failure here hits the
@@ -524,7 +569,7 @@ class SamplerService:
                 print(f"worker round failed (contained): {e!r}",
                       file=_sys.stderr)
 
-    def _make_runner(self, clip: float | None = None):
+    def _make_runner(self, clip: float | None = None, respacing: int = 0):
         import jax
 
         from tsdiff_tpu.diffusion.ensemble import make_ensemble_score_fn
@@ -539,6 +584,7 @@ class SamplerService:
             n_steps=self.n_steps,
             step_lr=self.step_lr,
             clip=self.clip if clip is None else clip,
+            timestep_respacing=respacing or None,
         )
         scale = final_frame_scale(self.schedule, settings)
 
@@ -579,6 +625,10 @@ def main(argv=None):
                         help="bounded queue size (default 4*max_batch; 0 = unbounded)")
     parser.add_argument("--timeout_s", type=float, default=None,
                         help="server-side default request deadline")
+    parser.add_argument("--draft_respacing", type=int, default=None,
+                        help="step count of the fast-draft quality tier "
+                             "(DDIM-respaced subsequence of the n_steps "
+                             "window); requests opt in with quality='draft'")
     parser.add_argument("--mesh", type=str, default="none",
                         help="DP,ENS device mesh (e.g. '4,2') or 'none'")
     parser.add_argument("--compile_cache", type=str, default=None,
@@ -623,6 +673,7 @@ def main(argv=None):
         max_batch=args.max_batch, max_wait_s=args.max_wait_ms / 1e3,
         mesh=mesh, max_pending=args.max_pending,
         default_timeout_s=args.timeout_s,
+        draft_respacing=args.draft_respacing,
     )
 
     if not service._is_coord:
@@ -680,7 +731,8 @@ def main(argv=None):
                 req = json.loads(self.rfile.read(n))
                 graphs = [graph_from_json(d) for d in req["graphs"]]
                 results = service.generate(
-                    graphs, timeout_s=req.get("timeout_s")
+                    graphs, timeout_s=req.get("timeout_s"),
+                    quality=req.get("quality", "full"),
                 )
                 self._json(200, {
                     "pos_gen": [r["pos_gen"].tolist() for r in results],

@@ -296,13 +296,34 @@ def load_checkpoint(path: str) -> dict:
         return load_checkpoint_orbax(path)
     import zipfile
 
-    if zipfile.is_zipfile(path):  # torch>=1.6 zip container, never our pickle
+    def _is_torch_zip(p: str) -> bool:
+        # zipfile.is_zipfile only scans for a trailing EOCD record and can
+        # false-positive on a pickle that embeds zip bytes; require the torch
+        # container layout (an `<archive>/data.pkl` member) before converting
+        if not zipfile.is_zipfile(p):
+            return False
+        try:
+            with zipfile.ZipFile(p) as zf:
+                return any(
+                    name == "data.pkl" or name.endswith("/data.pkl")
+                    for name in zf.namelist()
+                )
+        except zipfile.BadZipFile:
+            return False
+
+    if _is_torch_zip(path):  # torch>=1.6 zip container
         from tsdiff_tpu.data.convert import convert_reference_checkpoint
 
         return convert_reference_checkpoint(path)
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    assert payload.get("format") == "tsdiff_tpu.ckpt.v1", f"unknown checkpoint format in {path}"
+    if not (isinstance(payload, dict) and payload.get("format") == "tsdiff_tpu.ckpt.v1"):
+        raise ValueError(
+            f"unrecognized checkpoint format in {path}: expected a "
+            "tsdiff_tpu.ckpt.v1 pickle, an orbax directory, or a torch>=1.6 "
+            "zip-container .pt file (legacy tar-format torch<1.6 .pt files "
+            "are not supported — re-save them with a modern torch first)"
+        )
     return payload
 
 
