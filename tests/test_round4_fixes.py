@@ -67,6 +67,40 @@ def test_tier_ladder_max_tiers_cap():
     assert tier_ladder(64, 4, max_tiers=2) == [64, 32]
 
 
+def test_bench_quality_gated_respacing(tmp_path):
+    """bench.py only claims a respaced headline when the committed measured
+    curve has a point quality-equal to the full-schedule production run."""
+    import json
+    import sys
+
+    sys.path[:0] = ["/root/repo"]
+    from bench import quality_gated_respacing
+
+    assert quality_gated_respacing(str(tmp_path / "missing.json")) is None
+
+    p = tmp_path / "curve.json"
+    p.write_text(json.dumps({"curve": [
+        {"rule": "ld", "steps": 5000, "dmae_mean": 0.48},
+        {"rule": "ld", "steps": 2500, "dmae_mean": 0.49},
+        {"rule": "ld", "steps": 1250, "dmae_mean": 0.80},
+    ]}))
+    got = quality_gated_respacing(str(p))
+    assert got["steps"] == 2500 and got["rule"] == "ld"
+
+    # every respaced point degraded -> no claim
+    p.write_text(json.dumps({"curve": [
+        {"rule": "ld", "steps": 5000, "dmae_mean": 0.48},
+        {"rule": "ld", "steps": 2500, "dmae_mean": 0.70},
+    ]}))
+    assert quality_gated_respacing(str(p)) is None
+
+    # no full-schedule anchor -> no claim
+    p.write_text(json.dumps({"curve": [
+        {"rule": "ld", "steps": 2500, "dmae_mean": 0.40},
+    ]}))
+    assert quality_gated_respacing(str(p)) is None
+
+
 def test_sampling_resume_multihost_visibility_error(monkeypatch, tmp_path):
     """--resume under --multihost must fail fast with the multihost-specific
     message when the file is missing, instead of desyncing at open()."""

@@ -107,6 +107,8 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     for name, count in (("train_data", args.n_train), ("valid_data", args.n_val),
                         ("test_data", args.n_test)):
+        if count == 0:  # e.g. a test-only corpus for campaign scaling
+            continue
         graphs = [make_reaction(rng, table) for _ in range(count)]
         path = os.path.join(args.save_dir, f"{name}.pkl")
         save_dataset(path, graphs)
