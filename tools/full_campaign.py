@@ -85,18 +85,29 @@ def main(argv=None):
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--timestep_respacing", type=int, default=None,
+                    help="run the campaign on the respaced (strided) schedule")
+    ap.add_argument("--ckpts", nargs="+", default=None,
+                    help="explicit member checkpoints (skip the best-K "
+                         "trajectory ranking; e.g. independent-seed members)")
     args = ap.parse_args(argv)
 
-    ranked = rank_checkpoints(args.run_dirs)
-    if len(ranked) < args.ensemble:
-        raise SystemExit(
-            f"only {len(ranked)} checkpoints with val loss under {args.run_dirs}; "
-            f"need --ensemble {args.ensemble}"
-        )
-    members = ranked[: args.ensemble]
-    print("ensemble members (val loss @ iteration):")
-    for val, it, path in members:
-        print(f"  {val:.4f} @ {it:>7,}  {path}")
+    if args.ckpts is not None:
+        members = [(float("nan"), -1, p) for p in args.ckpts]
+        print("ensemble members (explicit):")
+        for _, _, path in members:
+            print(f"  {path}")
+    else:
+        ranked = rank_checkpoints(args.run_dirs)
+        if len(ranked) < args.ensemble:
+            raise SystemExit(
+                f"only {len(ranked)} checkpoints with val loss under {args.run_dirs}; "
+                f"need --ensemble {args.ensemble}"
+            )
+        members = ranked[: args.ensemble]
+        print("ensemble members (val loss @ iteration):")
+        for val, it, path in members:
+            print(f"  {val:.4f} @ {it:>7,}  {path}")
 
     from tsdiff_tpu.cli import evaluate as evaluate_cli
     from tsdiff_tpu.cli import sampling as sampling_cli
@@ -118,6 +129,8 @@ def main(argv=None):
     ]
     if args.use_ema:
         sample_argv.append("--use_ema")
+    if args.timestep_respacing is not None:
+        sample_argv += ["--timestep_respacing", str(args.timestep_respacing)]
     t0 = time.monotonic()
     sampling_cli.main(sample_argv)
     wall_s = time.monotonic() - t0
@@ -136,14 +149,19 @@ def main(argv=None):
 
     summary = {
         "n_samples": n_samples,
-        "ensemble": args.ensemble,
+        "ensemble": len(members),
         "n_steps": args.n_steps,
+        "timestep_respacing": args.timestep_respacing,
         "wall_s": round(wall_s, 1),
         "samples_per_s": round(n_samples / wall_s, 3),
         "dmae_mean": round(float(dmae.mean()), 4) if dmae.size else None,
         "dmae_median": round(float(np.median(dmae)), 4) if dmae.size else None,
         "dmae_frac_under_0.3": round(float((dmae <= 0.3).mean()), 3) if dmae.size else None,
-        "members": [{"val": v, "iter": i} for v, i, _ in members],
+        "members": [
+            {"val": (None if v != v else v), "iter": (None if i < 0 else i),
+             "path": os.path.relpath(p)}
+            for v, i, p in members
+        ],
     }
     print(json.dumps(summary))
     with open(os.path.join(args.save_dir, "campaign_summary.json"), "w") as f:

@@ -32,7 +32,14 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--mixed", action="store_true", default=False)
 parser.add_argument("--quant", type=str, default=None, choices=["int8"])
 parser.add_argument("--n_requests", type=int, default=200)
+parser.add_argument("--draft_respacing", type=int, default=None,
+                    help="also bench the respaced draft tier (quality curve: "
+                         "artifacts/respacing_curve.json)")
+parser.add_argument("--json", type=str, default=None,
+                    help="write results as one JSON file (committed evidence)")
 args = parser.parse_args()
+results_json = {"n_requests": args.n_requests, "quant": args.quant,
+                "draft_respacing": args.draft_respacing, "waves": []}
 
 d = tempfile.mkdtemp()
 cfg = _production_model_config()
@@ -46,7 +53,8 @@ save_checkpoint(ckpt, Config(model=cfg.to_dict()),
 
 svc = SamplerService([ckpt] * 8, n_steps=5000, dtype="bfloat16",
                      fused_score=True, quant=args.quant, max_batch=100,
-                     max_wait_s=0.2, max_pending=0)
+                     max_wait_s=0.2, max_pending=0,
+                     draft_respacing=args.draft_respacing)
 
 def make_graphs(n_graphs, rng):
     sizes = rng.choice(BIRKHOLZ_SIZES, size=n_graphs)
@@ -63,11 +71,17 @@ def make_graphs(n_graphs, rng):
 N = args.n_requests
 # closed loop: fixed graph set, every wave sees identical (bucket, tier) shapes
 graphs = make_graphs(N, np.random.default_rng(1))
-for wave in range(3):
-    t0 = time.perf_counter(); svc.generate(list(graphs))
-    dt = time.perf_counter() - t0
-    print(f"wave {wave}: {N} samples in {dt:.1f}s = {N/dt:.2f} samples/s "
-          f"({N/dt/0.5:.1f}x baseline)", flush=True)
+tiers = ["full"] + (["draft"] if args.draft_respacing else [])
+for quality in tiers:
+    for wave in range(3):
+        t0 = time.perf_counter(); svc.generate(list(graphs), quality=quality)
+        dt = time.perf_counter() - t0
+        print(f"{quality} wave {wave}: {N} samples in {dt:.1f}s = "
+              f"{N/dt:.2f} samples/s ({N/dt/0.5:.1f}x baseline)", flush=True)
+        results_json["waves"].append(
+            {"quality": quality, "wave": wave, "wall_s": round(dt, 1),
+             "samples_per_s": round(N / dt, 2),
+             "vs_baseline": round(N / dt / 0.5, 1)})
 
 if args.mixed:
     # interactive scenario: 4 blocking clients with jittered think time;
@@ -104,4 +118,17 @@ if args.mixed:
           f"max {lat_ms[-1]:.1f}s", flush=True)
     print(f"stats: served {svc._served} timed_out {svc._timed_out} "
           f"cancelled {svc._cancelled} rejected {svc._rejected}", flush=True)
+    results_json["interactive"] = {
+        "n": n, "wall_s": round(dt, 1),
+        "samples_per_s": round(n / dt, 2),
+        "latency_p50_s": round(float(lat_ms[n // 2]), 1),
+        "latency_p95_s": round(float(lat_ms[int(n * 0.95)]), 1),
+        "latency_max_s": round(float(lat_ms[-1]), 1),
+    }
 svc.close()
+if args.json:
+    import json as _json
+    os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+    with open(args.json, "w") as f:
+        _json.dump(results_json, f, indent=2)
+    print(f"wrote {args.json}")

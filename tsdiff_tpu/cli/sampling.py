@@ -303,6 +303,12 @@ def main(argv=None):
                     return jnp.mean(jax.vmap(member)(stacked), axis=0)
 
                 if model.model_type == "dsm":
+                    if args.timestep_respacing is not None:
+                        logger.warning(
+                            "--timestep_respacing only applies to the DDPM "
+                            "schedule walk; dsm models use their sigma "
+                            "ladder (reduce --n_steps per level instead)"
+                        )
                     pos, traj, nan = dsm_annealed_sampling(
                         eps_fn, model.sigmas, pos_init, batch.node_mask, key,
                         n_steps=args.n_steps, step_lr=args.step_lr,
