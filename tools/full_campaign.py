@@ -87,6 +87,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=2022)
     ap.add_argument("--timestep_respacing", type=int, default=None,
                     help="run the campaign on the respaced (strided) schedule")
+    ap.add_argument("--sampling_type", default="ld")
     ap.add_argument("--ckpts", nargs="+", default=None,
                     help="explicit member checkpoints (skip the best-K "
                          "trajectory ranking; e.g. independent-seed members)")
@@ -118,7 +119,7 @@ def main(argv=None):
         "--save_dir", args.save_dir,
         "--end_idx", str(10**9),
         "--n_steps", str(args.n_steps),
-        "--sampling_type", "ld",
+        "--sampling_type", args.sampling_type,
         "--step_lr", str(args.step_lr),
         "--batch_size", str(args.batch_size),
         "--repeat", str(args.repeat),
