@@ -9,6 +9,14 @@ NOTE: this environment registers an experimental TPU platform plugin from
 code runs — so the ``JAX_PLATFORMS`` env var is already captured and must be
 overridden through ``jax.config``.  ``XLA_FLAGS`` is still read lazily at
 backend initialization, so setting it here (before any computation) works.
+
+A persistent XLA compilation cache was tried for suite speed and REVERTED:
+XLA:CPU's AOT loader rejects its own cache entries on reload ("Target
+machine feature +prefer-no-gather is not supported on the host machine" on
+the very machine that wrote them), and the reload noise plus fallback
+recompiles slowed the spawned multihost clusters enough to trip Gloo's 30 s
+rendezvous deadline.  Suite parallelism comes from pytest-xdist instead
+(auto-enabled on multi-core machines by the root conftest.py).
 """
 
 import os

@@ -631,6 +631,56 @@ def test_chi1_dihedral_hand_computed():
     assert n == 0 and np.isnan(acc)
 
 
+def test_rotamer_distribution():
+    """Rotamer-well assignment + circular concentration on hand-set chi1s."""
+    from tsdiff_tpu.eval.protein import place_dihedral, rotamer_distribution
+
+    def chain(chis):
+        """One SER residue per requested chi1, gamma placed by NeRF.
+
+        NOTE the sign convention: place_dihedral's dih argument lands at
+        MINUS the measured dihedral_deg value (same flip the protein gate
+        documents at its CHI1 constant) — callers below pass -chi."""
+        atoms, names, res = [], [], []
+        for r, chi in enumerate(chis):
+            base = np.array([4.0 * r, 0.0, 0.0])
+            N, CA, C, O = (base, base + [1.4, 0, 0],
+                           base + [2.1, 1.2, 0], base + [1.6, 2.3, 0])
+            CB = place_dihedral(C, N, CA, 1.53, 110.5, 122.0)
+            OG = place_dihedral(N, CA, CB, 1.42, 110.5, chi)
+            atoms += [N, CA, C, O, CB, OG]
+            names += ["N", "CA", "C", "O", "CB", "OG"]
+            res += [r] * 6
+        return dict(
+            atom_type=np.zeros(len(names), np.int32),
+            atom2res=np.asarray(res, np.int64),
+            atom_name=names, res_name=["SER"] * len(names),
+            pos=np.asarray(atoms, np.float32),
+        )
+
+    # all at one well (measured +60 = g+): occupancy 1.0 there, R ~ 1
+    g = chain([-62.0, -58.0, -61.0, -60.0])
+    d = rotamer_distribution(g["pos"], g)
+    assert d["n"] == 4
+    assert d["wells"]["g+"] == 1.0 and d["wells"]["t"] == 0.0
+    assert d["circ_R"] > 0.99
+    assert abs(d["circ_mean_deg"] - 60.0) < 5.0
+
+    # spread across all three wells: R collapses
+    g = chain([-60.0, 180.0, 60.0])  # measured: +60, 180, -60
+    d = rotamer_distribution(g["pos"], g)
+    assert d["wells"] == {"g+": pytest.approx(1 / 3), "t": pytest.approx(1 / 3),
+                          "g-": pytest.approx(1 / 3)}
+    assert d["circ_R"] < 0.05
+
+    # coverage filter: mask out the gamma atoms of residues 1..2
+    cov = np.ones(18, np.int64)
+    cov[6 * 1 + 5] = 0
+    cov[6 * 2 + 5] = 0
+    d = rotamer_distribution(g["pos"], g, coverage_counts=cov)
+    assert d["n"] == 1 and d["wells"]["g+"] == 1.0
+
+
 def test_parse_pdb_robustness():
     """Messy real-world PDB text: hydrogens, altlocs, HETATM, multi-model,
     missing element column."""

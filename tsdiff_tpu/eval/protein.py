@@ -91,6 +91,48 @@ def angular_diff_deg(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.minimum(d, 360.0 - d)
 
 
+#: canonical chi1 rotamer wells (degrees): gauche+, trans, gauche-
+ROTAMER_WELLS = {"g+": 60.0, "t": 180.0, "g-": -60.0}
+
+
+def rotamer_distribution(
+    pos: np.ndarray, graph: dict,
+    coverage_counts: np.ndarray | None = None,
+) -> dict:
+    """chi1 rotamer-well occupancy + circular concentration statistics.
+
+    Sidechain packing cares about which WELL each chi1 lands in, not just
+    a pointwise tolerance (chi1_accuracy): the standard rotamer summary is
+    the g+/t/g- occupancy histogram (nearest canonical well on the circle)
+    plus the circular mean/resultant of the angles.  Returns
+    ``{"n", "wells": {g+,t,g-}, "circ_mean_deg", "circ_R"}`` where circ_R
+    in [0,1] is the mean-resultant length (1 = all angles identical — a
+    model that LEARNED one corpus rotamer concentrates; random geometry
+    gives R near 0 and a ~uniform well histogram).
+    """
+    quads = chi1_quads(graph)
+    if coverage_counts is not None and len(quads):
+        cov = np.asarray(coverage_counts)
+        quads = quads[(cov[quads[:, 2]] > 0) & (cov[quads[:, 3]] > 0)]
+    if len(quads) == 0:
+        return {"n": 0, "wells": {k: float("nan") for k in ROTAMER_WELLS},
+                "circ_mean_deg": float("nan"), "circ_R": float("nan")}
+    chi = dihedral_deg(pos, quads)
+    names = list(ROTAMER_WELLS)
+    centers = np.array([ROTAMER_WELLS[k] for k in names])
+    dist = angular_diff_deg(chi[:, None], centers[None, :])  # (n, 3)
+    nearest = np.argmin(dist, axis=1)
+    wells = {k: float(np.mean(nearest == i)) for i, k in enumerate(names)}
+    rad = np.radians(chi)
+    z = np.exp(1j * rad).mean()
+    return {
+        "n": int(len(quads)),
+        "wells": wells,
+        "circ_mean_deg": float(np.degrees(np.angle(z))),
+        "circ_R": float(np.abs(z)),
+    }
+
+
 def chi1_accuracy(
     pos_gen: np.ndarray, pos_gt: np.ndarray, graph: dict, tol_deg: float = 40.0,
     coverage_counts: np.ndarray | None = None,
