@@ -113,6 +113,11 @@ def main(argv=None):
                     help="run every arm respaced (pairs this experiment with "
                          "tools/respacing_curve.py)")
     ap.add_argument("--skip_trajectory", action="store_true")
+    ap.add_argument("--k_sweep", nargs="*", type=int, default=None,
+                    help="additionally run intermediate ensemble sizes "
+                         "(best-K of the given seeds, by val loss) — the "
+                         "D-MAE-vs-K curve of the paper recipe; default "
+                         "when given bare: every power of two below K")
     args = ap.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -143,6 +148,17 @@ def main(argv=None):
                     protocol=pickle.HIGHEST_PROTOCOL)
     soup_args = argparse.Namespace(**{**vars(args), "use_ema": False})
     results.append(run_arm("soup_of_seeds", [soup_path], soup_args, resp))
+    # a') intermediate ensemble sizes (paper-recipe K axis): best-K seeds
+    if args.k_sweep is not None:
+        ks = args.k_sweep or [
+            k for k in (2, 4, 8) if 1 < k < len(seed_paths)
+        ]
+        by_val = [p for _, _, p in sorted(seed_best)]
+        for k in ks:
+            if 1 < k < len(seed_paths):
+                results.append(
+                    run_arm(f"indep_ensemble_k{k}", by_val[:k], args, resp)
+                )
     # d) trajectory ensemble: best-K checkpoints of seed 0's run
     if not args.skip_trajectory:
         from tools.full_campaign import rank_checkpoints
