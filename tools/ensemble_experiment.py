@@ -135,10 +135,23 @@ def main(argv=None):
     best_single = min(seed_best)[2]
 
     results = []
+
+    def _checkpoint_write(partial: bool = True):
+        # incremental write: an interrupted experiment keeps finished arms
+        payload = _payload(args, seed_best, results)
+        if partial:
+            payload["partial"] = True
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
+
     # a) the paper recipe: K independent seeds, score-averaged
     results.append(run_arm("indep_ensemble", seed_paths, args, resp))
+    _checkpoint_write()
     # b) best single seed
     results.append(run_arm("best_single", [best_single], args, resp))
+    _checkpoint_write()
     # c) soup of seeds (expected failure — committed as a negative result)
     from tools.soup import soup_checkpoints
 
@@ -148,6 +161,7 @@ def main(argv=None):
                     protocol=pickle.HIGHEST_PROTOCOL)
     soup_args = argparse.Namespace(**{**vars(args), "use_ema": False})
     results.append(run_arm("soup_of_seeds", [soup_path], soup_args, resp))
+    _checkpoint_write()
     # a') intermediate ensemble sizes (paper-recipe K axis): best-K seeds
     if args.k_sweep is not None:
         ks = args.k_sweep or [
@@ -159,6 +173,7 @@ def main(argv=None):
                 results.append(
                     run_arm(f"indep_ensemble_k{k}", by_val[:k], args, resp)
                 )
+                _checkpoint_write()
     # d) trajectory ensemble: best-K checkpoints of seed 0's run
     if not args.skip_trajectory:
         from tools.full_campaign import rank_checkpoints
@@ -168,7 +183,12 @@ def main(argv=None):
             run_arm("trajectory_ensemble", [p for _, _, p in traj], args, resp)
         )
 
-    payload = {
+    _checkpoint_write(partial=False)
+    print(f"wrote {args.out}")
+
+
+def _payload(args, seed_best, results):
+    return {
         "test_set": args.test_set,
         "n_test": args.n_test or "full",
         "n_steps": args.n_steps,
@@ -182,10 +202,6 @@ def main(argv=None):
         ],
         "arms": results,
     }
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(payload, f, indent=2)
-    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

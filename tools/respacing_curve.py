@@ -123,7 +123,14 @@ def main(argv=None):
         }
         curve.append(entry)
         print(json.dumps(entry))
+        # incremental write: an interrupted sweep keeps every finished point
+        _write(args, member_paths, curve, partial=True)
 
+    _write(args, member_paths, curve, partial=False)
+    print(f"wrote {args.out}")
+
+
+def _write(args, member_paths, curve, partial: bool):
     result = {
         "test_set": args.test_set,
         "n_test": args.n_test,
@@ -132,10 +139,12 @@ def main(argv=None):
         "members": member_paths,
         "curve": curve,
     }
+    if partial:
+        result["partial"] = True
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
-    print(f"wrote {args.out}")
+        f.write("\n")
 
 
 if __name__ == "__main__":
