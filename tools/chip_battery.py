@@ -1,0 +1,278 @@
+"""Round-4 on-chip evidence battery: one resumable driver for every run.
+
+The round-4 evidence plan (WORKLOG.md) needs a long sequence of real-TPU
+runs — 4 independently seeded trainings, the respacing quality curve, the
+independent-seed ensemble experiment, the 10k end-to-end campaigns, serving
+benches, full-length bench anchors, and the 400k production continuation.
+The chip must only ever be driven by ONE process, and a session restart must
+not lose progress, so this driver runs the stages strictly sequentially with
+a stamp file per finished stage (.scratch/battery/<stage>.done): rerunning
+the script skips finished stages, and interrupted seed trainings resume
+through the train CLI's own log-dir resume path.
+
+Every stage's committed face lands in artifacts/ (see artifacts/README.md);
+stage stdout/stderr go to .scratch/battery/<stage>.log.
+
+Usage (real TPU, from the repo root):
+    python tools/chip_battery.py [--only STAGE [STAGE ...]] [--list]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path[:0] = [ROOT]
+
+PY = sys.executable
+SCRATCH = os.path.join(ROOT, ".scratch")
+BATTERY = os.path.join(SCRATCH, "battery")
+SEEDS_DIR = os.path.join(SCRATCH, "seeds")
+SEEDS = (101, 102, 103, 104)
+TRAIN_ITERS = 200_000  # half schedule per seed; seed 101 continues to 400k
+
+os.chdir(ROOT)
+
+
+def seed_config(seed: int) -> str:
+    """Write .scratch/seeds/seed<seed>.yml — the production config with only
+    train.seed changed (the reference's ens0..9 configs differ only in
+    train.seed; logs/trained_ckpt/ens*.yml)."""
+    os.makedirs(SEEDS_DIR, exist_ok=True)
+    path = os.path.join(SEEDS_DIR, f"seed{seed}.yml")
+    with open(os.path.join(ROOT, "configs", "synthetic_production.yml")) as f:
+        text = f.read()
+    text = text.replace("  seed: 0\n", f"  seed: {seed}\n")
+    assert f"seed: {seed}" in text
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def seed_run_dirs(seed: int) -> list[str]:
+    """Existing train-CLI log dirs for one seed (original + any resumes),
+    oldest first."""
+    return sorted(
+        d for d in glob.glob(os.path.join(SEEDS_DIR, f"seed{seed}_*"))
+        if os.path.isdir(d)
+    )
+
+
+def all_seed_dirs() -> list[str]:
+    return [d for s in SEEDS for d in seed_run_dirs(s)]
+
+
+def best_seed_ckpts() -> list[str]:
+    """Best checkpoint per seed (the independent-seed ensemble members)."""
+    from tools.full_campaign import rank_checkpoints
+
+    out = []
+    for s in SEEDS:
+        ranked = rank_checkpoints(seed_run_dirs(s))
+        if not ranked:
+            raise SystemExit(f"no checkpoints for seed {s}")
+        out.append(ranked[0][2])
+    return out
+
+
+def gated_respacing() -> tuple[str, int]:
+    """(rule, steps) of the quality-gated respaced point from the committed
+    curve; falls back to ld:2500 when the curve is absent (the fallback is
+    only used for scheduling later stages, never for quality claims)."""
+    from bench import quality_gated_respacing
+
+    resp = quality_gated_respacing()
+    if resp is None:
+        return "ld", 2500
+    return resp["rule"], resp["steps"]
+
+
+def run_cmds(stage: str, cmds: list[list[str]]) -> None:
+    log_path = os.path.join(BATTERY, f"{stage}.log")
+    with open(log_path, "a") as log:
+        for cmd in cmds:
+            log.write(f"\n=== {time.strftime('%F %T')} $ {' '.join(cmd)}\n")
+            log.flush()
+            subprocess.run(cmd, check=True, stdout=log, stderr=subprocess.STDOUT)
+
+
+def train_stage(seed: int) -> None:
+    dirs = seed_run_dirs(seed)
+    target = dirs[-1] if dirs else seed_config(seed)
+    run_cmds(f"train_seed{seed}", [[
+        PY, "-m", "tsdiff_tpu.cli.train", target,
+        "--logdir", SEEDS_DIR, "--tag", f"seed{seed}",
+        "--max_iters", str(TRAIN_ITERS),
+        "--dtype", "bfloat16", "--packed_train", "--device_data", "auto",
+    ], [
+        PY, "tools/seed_report.py", *all_seed_dirs(),
+        "--out_dir", "artifacts/seeds",
+    ]])
+
+
+def respacing_stage() -> None:
+    # trajectory best-4 of seed 101: the curve is a PAIRED quality comparison
+    # (same members at every step count), so trajectory members are valid;
+    # the independent-seed experiment re-measures the gated point separately.
+    run_cmds("respacing_curve", [[
+        PY, "tools/respacing_curve.py", *seed_run_dirs(101),
+        "--test_set", "data/synthetic/test_data.pkl",
+        "--save_dir", os.path.join(SCRATCH, "respace"),
+        "--out", "artifacts/respacing_curve.json",
+        "--ensemble", "4", "--n_test", "400",
+    ]])
+
+
+def ensemble_stage() -> None:
+    run_cmds("ensemble_experiment", [[
+        PY, "tools/ensemble_experiment.py",
+        *(seed_run_dirs(s)[-1] for s in SEEDS),
+        "--test_set", "data/synthetic/test_data.pkl",
+        "--workdir", os.path.join(SCRATCH, "ens_exp"),
+        "--out", "artifacts/ensemble_experiment.json",
+        "--k_sweep",
+    ]])
+
+
+def campaign_stage(respaced: bool) -> None:
+    name = "campaign_10k_respaced" if respaced else "campaign_10k"
+    save_dir = os.path.join(SCRATCH, name)
+    cmd = [
+        PY, "tools/full_campaign.py", SEEDS_DIR,  # run_dirs unused with --ckpts
+        "--test_set", "data/synthetic_10k/test_data.pkl",
+        "--save_dir", save_dir,
+        "--ckpts", *best_seed_ckpts(),
+    ]
+    if respaced:
+        rule, steps = gated_respacing()
+        cmd += ["--sampling_type", rule, "--timestep_respacing", str(steps)]
+    art_dir = os.path.join("artifacts", name)
+    run_cmds(name, [
+        cmd,
+        ["mkdir", "-p", art_dir],
+        ["cp", os.path.join(save_dir, "campaign_summary.json"), art_dir],
+    ])
+
+
+def serve_stage(mixed: bool) -> None:
+    name = "serve_bench_mixed" if mixed else "serve_bench"
+    _, steps = gated_respacing()
+    cmd = [
+        PY, "tools/serve_bench.py",
+        "--draft_respacing", str(steps),
+        "--json", f"artifacts/{name}_r04.json",
+    ]
+    if mixed:
+        cmd.append("--mixed")
+    run_cmds(name, [cmd])
+
+
+def bench_full_stage() -> None:
+    log_path = os.path.join(BATTERY, "bench_full.log")
+    with open(log_path, "a") as log:
+        out = subprocess.run(
+            [PY, "bench.py", "--full"], check=True,
+            stdout=subprocess.PIPE, stderr=log, text=True,
+        ).stdout
+    # last stdout line is the JSON result
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    with open("artifacts/bench_full_r04.json", "w") as f:
+        f.write(line + "\n")
+
+
+def prod_400k_stage() -> None:
+    run_cmds("prod_400k", [[
+        PY, "-m", "tsdiff_tpu.cli.train", seed_run_dirs(101)[-1],
+        "--logdir", SEEDS_DIR, "--tag", "seed101",
+        "--max_iters", "400000",
+        "--dtype", "bfloat16", "--packed_train", "--device_data", "auto",
+    ]])
+
+
+def prod_report_stage() -> None:
+    os.makedirs("artifacts/prod_full", exist_ok=True)
+    log_path = os.path.join(BATTERY, "prod_report.log")
+    with open(log_path, "a") as log:
+        out = subprocess.run(
+            [PY, "tools/prod_run_report.py", *seed_run_dirs(101),
+             "--ema_compare", "--dtype", "bfloat16",
+             "--markdown", "artifacts/prod_full/report.md"],
+            check=True, stdout=subprocess.PIPE, stderr=log, text=True,
+        ).stdout
+    with open("artifacts/prod_full/report_stdout.txt", "w") as f:
+        f.write(out)
+
+
+STAGES: list[tuple[str, callable]] = [
+    ("corpus", lambda: run_cmds("corpus", [[
+        PY, "tools/make_synthetic_corpus.py", "--save_dir", "data/synthetic"]])),
+    ("corpus_10k", lambda: run_cmds("corpus_10k", [[
+        PY, "tools/make_synthetic_corpus.py", "--save_dir", "data/synthetic_10k",
+        "--n_train", "0", "--n_val", "0", "--n_test", "10000",
+        "--seed", "1042"]])),
+    ("train_seed101", lambda: train_stage(101)),
+    # the respacing curve only needs seed 101's trajectory — run it early so
+    # the round's headline evidence exists even if later stages are cut short
+    ("respacing_curve", respacing_stage),
+    ("train_seed102", lambda: train_stage(102)),
+    ("train_seed103", lambda: train_stage(103)),
+    ("train_seed104", lambda: train_stage(104)),
+    ("ensemble_experiment", ensemble_stage),
+    ("campaign_10k", lambda: campaign_stage(respaced=False)),
+    ("campaign_10k_respaced", lambda: campaign_stage(respaced=True)),
+    ("serve_bench", lambda: serve_stage(mixed=False)),
+    ("serve_bench_mixed", lambda: serve_stage(mixed=True)),
+    ("bench_full", bench_full_stage),
+    ("prod_400k", prod_400k_stage),
+    ("prod_report", prod_report_stage),
+]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these stages (still skips finished ones)")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--force", nargs="*", default=(),
+                    help="ignore these stages' stamps")
+    args = ap.parse_args(argv)
+
+    # The driver itself must NEVER claim the TPU — only one process may drive
+    # the chip at a time, and that is always the stage subprocess.  Helpers
+    # like rank_checkpoints import jax transitively, so pin this process to
+    # CPU before any backend initialization (env vars are ignored here — the
+    # axon plugin registers in sitecustomize; see .claude/skills/verify).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs(BATTERY, exist_ok=True)
+    if args.list:
+        for name, _ in STAGES:
+            stamp = os.path.join(BATTERY, f"{name}.done")
+            print(f"{'done' if os.path.exists(stamp) else '    '}  {name}")
+        return
+
+    for name, fn in STAGES:
+        if args.only and name not in args.only:
+            continue
+        stamp = os.path.join(BATTERY, f"{name}.done")
+        if os.path.exists(stamp) and name not in args.force:
+            print(f"[battery] skip {name} (done)", flush=True)
+            continue
+        print(f"[battery] start {name} at {time.strftime('%F %T')}", flush=True)
+        t0 = time.monotonic()
+        fn()
+        with open(stamp, "w") as f:
+            f.write(f"{time.strftime('%F %T')} wall_s={time.monotonic() - t0:.1f}\n")
+        print(f"[battery] done {name} in {time.monotonic() - t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
