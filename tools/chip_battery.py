@@ -35,9 +35,36 @@ SCRATCH = os.path.join(ROOT, ".scratch")
 BATTERY = os.path.join(SCRATCH, "battery")
 SEEDS_DIR = os.path.join(SCRATCH, "seeds")
 SEEDS = (101, 102, 103, 104)
-TRAIN_ITERS = 200_000  # half schedule per seed; seed 101 continues to 400k
+# Per-seed schedule, sized to the session's wall-clock budget (the scratch
+# disk does NOT survive between sessions, so a schedule that can't finish
+# within one session is a schedule that never produces an artifact).  At the
+# measured ~14 ms/iter (artifacts/seeds/seeds_summary.json: 198k iters in
+# 2847 s), 30k iters is ~7 min/seed and reaches val ~48 vs 40 at 200k —
+# plenty trained for PAIRED quality comparisons; the committed JSONs record
+# the schedule so no number is quoted out of context.
+TRAIN_ITERS = int(os.environ.get("BATTERY_TRAIN_ITERS", "30000"))
+# Paired test subset per experiment point (full 10k-point sweeps are for the
+# dedicated campaign stages).
+N_TEST = int(os.environ.get("BATTERY_N_TEST", "200"))
+COMMIT = os.environ.get("BATTERY_COMMIT", "1") != "0"
 
 os.chdir(ROOT)
+
+
+def git_commit(stage: str) -> None:
+    """Commit the stage's artifacts immediately — evidence must survive a
+    session reset (scratch/logs do not)."""
+    if not COMMIT:
+        return
+    subprocess.run(["git", "add", "-A", "artifacts"], check=False)
+    diff = subprocess.run(["git", "diff", "--cached", "--quiet"])
+    if diff.returncode == 0:
+        return
+    subprocess.run(
+        ["git", "commit", "-q", "-m",
+         f"Evidence battery: {stage} artifacts from on-chip run"],
+        check=False,
+    )
 
 
 def seed_config(seed: int) -> str:
@@ -75,9 +102,14 @@ def best_seed_ckpts() -> list[str]:
     out = []
     for s in SEEDS:
         ranked = rank_checkpoints(seed_run_dirs(s))
-        if not ranked:
+        if ranked:
+            out.append(ranked[0][2])
+            continue
+        # scratch wiped between sessions: fall back to the committed export
+        exported = os.path.join("artifacts", "seeds", "ckpts", f"seed{s}_best.ckpt")
+        if not os.path.exists(exported):
             raise SystemExit(f"no checkpoints for seed {s}")
-        out.append(ranked[0][2])
+        out.append(exported)
     return out
 
 
@@ -114,6 +146,16 @@ def train_stage(seed: int) -> None:
         PY, "tools/seed_report.py", *all_seed_dirs(),
         "--out_dir", "artifacts/seeds",
     ]])
+    # commit the seed's best checkpoint params-only: the ensemble members
+    # must survive the scratch wipe between sessions
+    from tools.full_campaign import rank_checkpoints
+
+    ranked = rank_checkpoints(seed_run_dirs(seed))
+    if ranked:
+        run_cmds(f"train_seed{seed}", [[
+            PY, "tools/export_ckpt.py", ranked[0][2],
+            os.path.join("artifacts", "seeds", "ckpts", f"seed{seed}_best.ckpt"),
+        ]])
 
 
 def respacing_stage() -> None:
@@ -125,18 +167,28 @@ def respacing_stage() -> None:
         "--test_set", "data/synthetic/test_data.pkl",
         "--save_dir", os.path.join(SCRATCH, "respace"),
         "--out", "artifacts/respacing_curve.json",
-        "--ensemble", "4", "--n_test", "400",
+        "--ensemble", "4", "--n_test", str(N_TEST),
+        "--points", "ld:5000", "ld:2500", "ld:1250", "ld:625",
+        "generalized:2500", "generalized:1250", "generalized:625",
     ]])
 
 
 def ensemble_stage() -> None:
+    # run the arms at the quality-gated respaced point — pairs this
+    # experiment with the committed curve and fits the session budget; the
+    # gated point is by construction quality-equal to the 5000-step schedule
+    rule, steps = gated_respacing()
+    extra = []
+    if steps < 5000:
+        extra = ["--sampling_type", rule, "--timestep_respacing", str(steps)]
     run_cmds("ensemble_experiment", [[
         PY, "tools/ensemble_experiment.py",
         *(seed_run_dirs(s)[-1] for s in SEEDS),
         "--test_set", "data/synthetic/test_data.pkl",
         "--workdir", os.path.join(SCRATCH, "ens_exp"),
         "--out", "artifacts/ensemble_experiment.json",
-        "--k_sweep",
+        "--n_test", str(N_TEST),
+        "--k_sweep", *extra,
     ]])
 
 
@@ -187,10 +239,14 @@ def bench_full_stage() -> None:
 
 
 def prod_400k_stage() -> None:
+    # continuation target for seed 101 — the full 400k reference schedule
+    # when a session has the budget, otherwise whatever BATTERY_PROD_ITERS
+    # allows (the train CLI resumes from the latest checkpoint either way)
+    target = os.environ.get("BATTERY_PROD_ITERS", "400000")
     run_cmds("prod_400k", [[
         PY, "-m", "tsdiff_tpu.cli.train", seed_run_dirs(101)[-1],
         "--logdir", SEEDS_DIR, "--tag", "seed101",
-        "--max_iters", "400000",
+        "--max_iters", target,
         "--dtype", "bfloat16", "--packed_train", "--device_data", "auto",
     ]])
 
@@ -224,11 +280,13 @@ STAGES: list[tuple[str, callable]] = [
     ("train_seed103", lambda: train_stage(103)),
     ("train_seed104", lambda: train_stage(104)),
     ("ensemble_experiment", ensemble_stage),
-    ("campaign_10k", lambda: campaign_stage(respaced=False)),
-    ("campaign_10k_respaced", lambda: campaign_stage(respaced=True)),
+    # cheap anchors before the long campaigns: every stage commits its own
+    # evidence, so the ordering is strictly by value-per-minute
+    ("bench_full", bench_full_stage),
     ("serve_bench", lambda: serve_stage(mixed=False)),
     ("serve_bench_mixed", lambda: serve_stage(mixed=True)),
-    ("bench_full", bench_full_stage),
+    ("campaign_10k_respaced", lambda: campaign_stage(respaced=True)),
+    ("campaign_10k", lambda: campaign_stage(respaced=False)),
     ("prod_400k", prod_400k_stage),
     ("prod_report", prod_report_stage),
 ]
@@ -271,6 +329,7 @@ def main(argv=None):
         fn()
         with open(stamp, "w") as f:
             f.write(f"{time.strftime('%F %T')} wall_s={time.monotonic() - t0:.1f}\n")
+        git_commit(name)
         print(f"[battery] done {name} in {time.monotonic() - t0:.1f}s", flush=True)
 
 
