@@ -142,7 +142,9 @@ def train_stage(seed: int) -> None:
         "--logdir", SEEDS_DIR, "--tag", f"seed{seed}",
         "--max_iters", str(TRAIN_ITERS),
         "--dtype", "bfloat16", "--packed_train", "--device_data", "auto",
-    ], [
+    ]])
+    # the run dir exists only AFTER training — build the report args now
+    run_cmds(f"train_seed{seed}", [[
         PY, "tools/seed_report.py", *all_seed_dirs(),
         "--out_dir", "artifacts/seeds",
     ]])
