@@ -146,11 +146,17 @@ def quality_gated_respacing(
     curve_path: str = "artifacts/respacing_curve.json",
     rel_tol: float = 0.05,
     abs_tol: float = 0.01,
+    frac_tol: float = 0.05,
 ) -> dict | None:
     """Pick the cheapest committed respaced point that is quality-equal to
-    the measured full-schedule run (dmae_mean within rel_tol + abs_tol of the
-    same rule's full 5000-step point).  Returns None when no curve exists or
-    nothing passes — the bench then claims nothing about respacing."""
+    the measured full-schedule run on ALL THREE committed statistics: mean
+    and p90 D-MAE within rel_tol + abs_tol of the same curve's full
+    5000-step LD anchor, and frac_under_0.3 no more than frac_tol below it
+    (a tail regression fails the gate even when the mean holds — VERDICT r04
+    weak #3).  Returns None when no curve exists or nothing passes — the
+    bench then claims nothing about respacing.  The returned dict carries the
+    curve's member provenance (val loss / iteration per ensemble member) so
+    the headline self-describes what weights back it."""
     import os
 
     if not os.path.exists(curve_path):
@@ -164,11 +170,21 @@ def quality_gated_respacing(
     ref = full.get("ld") or (next(iter(full.values())) if full else None)
     if ref is None:
         return None
-    passing = [
-        e for e in curve
-        if e["steps"] < N_STEPS
-        and e["dmae_mean"] <= ref["dmae_mean"] * (1 + rel_tol) + abs_tol
-    ]
+
+    def passes(e) -> bool:
+        if e["dmae_mean"] > ref["dmae_mean"] * (1 + rel_tol) + abs_tol:
+            return False
+        # older curves may lack the tail statistics; a point can only pass a
+        # statistic the anchor also carries
+        if "dmae_p90" in e and "dmae_p90" in ref:
+            if e["dmae_p90"] > ref["dmae_p90"] * (1 + rel_tol) + abs_tol:
+                return False
+        if "dmae_frac_under_0.3" in e and "dmae_frac_under_0.3" in ref:
+            if e["dmae_frac_under_0.3"] < ref["dmae_frac_under_0.3"] - frac_tol:
+                return False
+        return True
+
+    passing = [e for e in curve if e["steps"] < N_STEPS and passes(e)]
     if not passing:
         return None
     best = min(passing, key=lambda e: e["steps"])
@@ -176,7 +192,14 @@ def quality_gated_respacing(
         "steps": best["steps"],
         "rule": best["rule"],
         "dmae_mean": best["dmae_mean"],
+        "dmae_p90": best.get("dmae_p90"),
+        "dmae_frac_under_0.3": best.get("dmae_frac_under_0.3"),
         "full_dmae_mean": ref["dmae_mean"],
+        "full_dmae_p90": ref.get("dmae_p90"),
+        "full_dmae_frac_under_0.3": ref.get("dmae_frac_under_0.3"),
+        "gate": {"rel_tol": rel_tol, "abs_tol": abs_tol, "frac_tol": frac_tol,
+                 "stats_gated": ["dmae_mean", "dmae_p90", "dmae_frac_under_0.3"]},
+        "members_meta": data.get("members_meta"),
         "curve_file": curve_path,
     }
 
@@ -256,8 +279,10 @@ def main(argv=None):
             "all_n24_worst_case": resp_sps[24],
         }
         out["respaced"] = {
-            **{k: resp[k] for k in ("steps", "rule", "dmae_mean",
-                                    "full_dmae_mean", "curve_file")},
+            **{k: resp[k] for k in ("steps", "rule", "dmae_mean", "dmae_p90",
+                                    "dmae_frac_under_0.3", "full_dmae_mean",
+                                    "full_dmae_p90", "full_dmae_frac_under_0.3",
+                                    "gate", "members_meta", "curve_file")},
             "value": round(resp_band["birkholz_proxy"], 3),
             "vs_baseline": round(resp_band["birkholz_proxy"] / BASELINE, 2),
             "bucket_samples_per_sec": {

@@ -1,9 +1,12 @@
-"""Round-4 on-chip evidence battery: one resumable driver for every run.
+"""Round-5 on-chip evidence battery: one resumable driver for every run.
 
-The round-4 evidence plan (WORKLOG.md) needs a long sequence of real-TPU
-runs — 4 independently seeded trainings, the respacing quality curve, the
-independent-seed ensemble experiment, the 10k end-to-end campaigns, serving
-benches, full-length bench anchors, and the 400k production continuation.
+The round-5 evidence plan (VERDICT r04 asks #2/#3/#4) needs a long sequence
+of real-TPU runs — the 400k production continuation FIRST (the respacing
+headline must be re-validated on converged weights), the respacing quality
+curve including ddpm points, 8 independently seeded trainings to 150k iters,
+the powered ensemble experiment (n_test 1000, K in {1,2,4,8}), the full
+5000-step 10k campaign, serving benches with per-tier quality, and
+full-length bench anchors.
 The chip must only ever be driven by ONE process, and a session restart must
 not lose progress, so this driver runs the stages strictly sequentially with
 a stamp file per finished stage (.scratch/battery/<stage>.done): rerunning
@@ -34,18 +37,21 @@ PY = sys.executable
 SCRATCH = os.path.join(ROOT, ".scratch")
 BATTERY = os.path.join(SCRATCH, "battery")
 SEEDS_DIR = os.path.join(SCRATCH, "seeds")
-SEEDS = (101, 102, 103, 104)
-# Per-seed schedule, sized to the session's wall-clock budget (the scratch
-# disk does NOT survive between sessions, so a schedule that can't finish
-# within one session is a schedule that never produces an artifact).  At the
-# measured ~14 ms/iter (artifacts/seeds/seeds_summary.json: 198k iters in
-# 2847 s), 30k iters is ~7 min/seed and reaches val ~48 vs 40 at 200k —
-# plenty trained for PAIRED quality comparisons; the committed JSONs record
-# the schedule so no number is quoted out of context.
-TRAIN_ITERS = int(os.environ.get("BATTERY_TRAIN_ITERS", "30000"))
+SEEDS = (101, 102, 103, 104, 105, 106, 107, 108, 109)
+# homogeneous-budget members for the paper's K-vs-quality question (seed 101
+# continues to 400k in prod_400k, so it would dominate any arm it joins —
+# the K sweep needs members at EQUAL training budget to isolate the
+# score-averaging effect)
+ENSEMBLE_SEEDS = (102, 103, 104, 105, 106, 107, 108, 109)
+# Round-5 per-seed schedule: 150k iters (VERDICT r04 ask #4 — the round-4
+# 30k-iter members were budget casualties; at the measured ~8.4 ms/iter
+# that's ~21 min/seed, well past the first LR drops).  Seed 101 additionally
+# continues to the full 400k reference schedule in the prod_400k stage.
+TRAIN_ITERS = int(os.environ.get("BATTERY_TRAIN_ITERS", "150000"))
 # Paired test subset per experiment point (full 10k-point sweeps are for the
-# dedicated campaign stages).
-N_TEST = int(os.environ.get("BATTERY_N_TEST", "200"))
+# dedicated campaign stages).  Round 5: 1000 so a few-percent D-MAE ensemble
+# effect is resolvable (VERDICT r04 ask #4).
+N_TEST = int(os.environ.get("BATTERY_N_TEST", "1000"))
 COMMIT = os.environ.get("BATTERY_COMMIT", "1") != "0"
 
 os.chdir(ROOT)
@@ -95,22 +101,26 @@ def all_seed_dirs() -> list[str]:
     return [d for s in SEEDS for d in seed_run_dirs(s)]
 
 
-def best_seed_ckpts() -> list[str]:
-    """Best checkpoint per seed (the independent-seed ensemble members)."""
-    from tools.full_campaign import rank_checkpoints
+def best_seed_ckpts(k: int = 8) -> list[str]:
+    """Best checkpoint per seed, best-k across seeds by val loss (the
+    independent-seed ensemble members; k=8 matches the reference's
+    8-checkpoint production recipe, README.md:77)."""
+    from tools.full_campaign import ckpt_meta, rank_checkpoints
 
     out = []
     for s in SEEDS:
         ranked = rank_checkpoints(seed_run_dirs(s))
         if ranked:
-            out.append(ranked[0][2])
+            out.append(ranked[0])
             continue
         # scratch wiped between sessions: fall back to the committed export
         exported = os.path.join("artifacts", "seeds", "ckpts", f"seed{s}_best.ckpt")
         if not os.path.exists(exported):
-            raise SystemExit(f"no checkpoints for seed {s}")
-        out.append(exported)
-    return out
+            continue
+        out.append(ckpt_meta(exported))
+    if not out:
+        raise SystemExit("no seed checkpoints anywhere")
+    return [p for _, _, p in sorted(out)[:k]]
 
 
 def gated_respacing() -> tuple[str, int]:
@@ -161,33 +171,42 @@ def train_stage(seed: int) -> None:
 
 
 def respacing_stage() -> None:
-    # trajectory best-4 of seed 101: the curve is a PAIRED quality comparison
-    # (same members at every step count), so trajectory members are valid;
-    # the independent-seed experiment re-measures the gated point separately.
-    run_cmds("respacing_curve", [[
+    # trajectory best-4 of seed 101 AFTER the 400k production continuation
+    # (VERDICT r04 ask #2: the curve must be measured on converged weights):
+    # the curve is a PAIRED quality comparison (same members at every step
+    # count), so trajectory members are valid; the independent-seed
+    # experiment re-measures the gated point separately.  ddpm points are
+    # REQUIRED coverage — under the production step_lr the LD min-clamp makes
+    # generalized == ld, so respaced-ddpm is the only rule with genuinely
+    # different update algebra at the respaced pairs (VERDICT r04 weak #6).
+    run_cmds("respacing_curve_prod", [[
         PY, "tools/respacing_curve.py", *seed_run_dirs(101),
         "--test_set", "data/synthetic/test_data.pkl",
-        "--save_dir", os.path.join(SCRATCH, "respace"),
+        "--save_dir", os.path.join(SCRATCH, "respace_r05"),
         "--out", "artifacts/respacing_curve.json",
         "--ensemble", "4", "--n_test", str(N_TEST),
         "--points", "ld:5000", "ld:2500", "ld:1250", "ld:625",
-        "generalized:2500", "generalized:1250", "generalized:625",
+        "ddpm:5000", "ddpm:2500", "ddpm:1250", "ddpm:625",
+        "generalized:1250",
     ]])
 
 
 def ensemble_stage() -> None:
     # run the arms at the quality-gated respaced point — pairs this
     # experiment with the committed curve and fits the session budget; the
-    # gated point is by construction quality-equal to the 5000-step schedule
+    # gated point is by construction quality-equal to the 5000-step schedule.
+    # Members: the 8 EQUAL-BUDGET seeds (150k iters), K in {1,2,4,8} — the
+    # reference's 8-checkpoint recipe (README.md:77) at homogeneous training,
+    # n_test 1000 so a few-percent effect is resolvable (VERDICT r04 ask #4).
     rule, steps = gated_respacing()
     extra = []
     if steps < 5000:
         extra = ["--sampling_type", rule, "--timestep_respacing", str(steps)]
     run_cmds("ensemble_experiment", [[
         PY, "tools/ensemble_experiment.py",
-        *(seed_run_dirs(s)[-1] for s in SEEDS),
+        *(seed_run_dirs(s)[-1] for s in ENSEMBLE_SEEDS if seed_run_dirs(s)),
         "--test_set", "data/synthetic/test_data.pkl",
-        "--workdir", os.path.join(SCRATCH, "ens_exp"),
+        "--workdir", os.path.join(SCRATCH, "ens_exp_r05"),
         "--out", "artifacts/ensemble_experiment.json",
         "--n_test", str(N_TEST),
         "--k_sweep", *extra,
@@ -196,7 +215,9 @@ def ensemble_stage() -> None:
 
 def campaign_stage(respaced: bool) -> None:
     name = "campaign_10k_respaced" if respaced else "campaign_10k"
-    save_dir = os.path.join(SCRATCH, name)
+    # fresh scratch dir per round: the sampling CLI resumes from existing
+    # sample shards, which would silently mix round-4 members' samples in
+    save_dir = os.path.join(SCRATCH, name + "_r05")
     cmd = [
         PY, "tools/full_campaign.py", SEEDS_DIR,  # run_dirs unused with --ckpts
         "--test_set", "data/synthetic_10k/test_data.pkl",
@@ -220,7 +241,7 @@ def serve_stage(mixed: bool) -> None:
     cmd = [
         PY, "tools/serve_bench.py",
         "--draft_respacing", str(steps),
-        "--json", f"artifacts/{name}_r04.json",
+        "--json", f"artifacts/{name}_r05.json",
     ]
     if mixed:
         cmd.append("--mixed")
@@ -236,7 +257,7 @@ def bench_full_stage() -> None:
         ).stdout
     # last stdout line is the JSON result
     line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-    with open("artifacts/bench_full_r04.json", "w") as f:
+    with open("artifacts/bench_full_r05.json", "w") as f:
         f.write(line + "\n")
 
 
@@ -251,6 +272,20 @@ def prod_400k_stage() -> None:
         "--max_iters", target,
         "--dtype", "bfloat16", "--packed_train", "--device_data", "auto",
     ]])
+    # refresh the committed val curves and the params-only best export so the
+    # converged member survives a scratch wipe (same tail as train_stage)
+    run_cmds("prod_400k", [[
+        PY, "tools/seed_report.py", *all_seed_dirs(),
+        "--out_dir", "artifacts/seeds",
+    ]])
+    from tools.full_campaign import rank_checkpoints
+
+    ranked = rank_checkpoints(seed_run_dirs(101))
+    if ranked:
+        run_cmds("prod_400k", [[
+            PY, "tools/export_ckpt.py", ranked[0][2],
+            os.path.join("artifacts", "seeds", "ckpts", "seed101_best.ckpt"),
+        ]])
 
 
 def prod_report_stage() -> None:
@@ -274,23 +309,23 @@ STAGES: list[tuple[str, callable]] = [
         PY, "tools/make_synthetic_corpus.py", "--save_dir", "data/synthetic_10k",
         "--n_train", "0", "--n_val", "0", "--n_test", "10000",
         "--seed", "1042"]])),
-    ("train_seed101", lambda: train_stage(101)),
-    # the respacing curve only needs seed 101's trajectory — run it early so
-    # the round's headline evidence exists even if later stages are cut short
-    ("respacing_curve", respacing_stage),
-    ("train_seed102", lambda: train_stage(102)),
-    ("train_seed103", lambda: train_stage(103)),
-    ("train_seed104", lambda: train_stage(104)),
-    ("ensemble_experiment", ensemble_stage),
-    # cheap anchors before the long campaigns: every stage commits its own
-    # evidence, so the ordering is strictly by value-per-minute
-    ("bench_full", bench_full_stage),
-    ("serve_bench", lambda: serve_stage(mixed=False)),
-    ("serve_bench_mixed", lambda: serve_stage(mixed=True)),
-    ("campaign_10k_respaced", lambda: campaign_stage(respaced=True)),
-    ("campaign_10k", lambda: campaign_stage(respaced=False)),
+    # round-5 ordering (strictly by value-per-minute; every stage commits its
+    # own evidence): the 400k production continuation FIRST — the respacing
+    # headline must be re-measured on converged weights (VERDICT r04 ask #2),
+    # and prod_report closes DEMO.md's dangling citation (ask #3)
     ("prod_400k", prod_400k_stage),
     ("prod_report", prod_report_stage),
+    ("respacing_curve_prod", respacing_stage),
+    ("bench_full_r05", bench_full_stage),
+    # equal-budget independent seeds for the powered K sweep and the
+    # 8-member campaign (102-104 resume from their 30k round-4 dirs)
+    *[(f"train_seed{s}_150k", lambda s=s: train_stage(s))
+      for s in ENSEMBLE_SEEDS],
+    ("ensemble_experiment_r05", ensemble_stage),
+    ("campaign_10k_full", lambda: campaign_stage(respaced=False)),
+    ("campaign_10k_respaced_r05", lambda: campaign_stage(respaced=True)),
+    ("serve_bench_r05", lambda: serve_stage(mixed=False)),
+    ("serve_bench_mixed_r05", lambda: serve_stage(mixed=True)),
 ]
 
 

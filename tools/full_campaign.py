@@ -73,6 +73,28 @@ def rank_checkpoints(run_dirs):
     return sorted(by_iter.values())
 
 
+def ckpt_meta(path: str) -> tuple[float, int, str]:
+    """(val_loss, iteration, path) read from one checkpoint's stored metadata
+    (exported params-only ckpts keep avg_val_loss/iteration — export_ckpt.py),
+    so explicit-member runs record the same provenance as ranked ones."""
+    from tsdiff_tpu.train import load_checkpoint
+
+    if path.endswith(".orbax"):
+        try:
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            meta = {}
+    else:
+        meta = load_checkpoint(path)
+    val, it = meta.get("avg_val_loss"), meta.get("iteration")
+    return (
+        float(val) if val is not None else float("nan"),
+        int(it) if it is not None else -1,
+        path,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("run_dirs", nargs="+", help="train-CLI log dir(s), resumes included")
@@ -94,10 +116,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.ckpts is not None:
-        members = [(float("nan"), -1, p) for p in args.ckpts]
-        print("ensemble members (explicit):")
-        for _, _, path in members:
-            print(f"  {path}")
+        members = [ckpt_meta(p) for p in args.ckpts]
+        print("ensemble members (explicit; val loss @ iteration from ckpt metadata):")
+        for val, it, path in members:
+            print(f"  {val:.4f} @ {it:>7,}  {path}")
     else:
         ranked = rank_checkpoints(args.run_dirs)
         if len(ranked) < args.ensemble:

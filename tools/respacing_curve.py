@@ -56,20 +56,28 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=2022)
     args = ap.parse_args(argv)
 
-    from tools.full_campaign import rank_checkpoints
+    from tools.full_campaign import ckpt_meta, rank_checkpoints
     from tsdiff_tpu.cli import evaluate as evaluate_cli
     from tsdiff_tpu.cli import sampling as sampling_cli
 
     if args.run_dirs[0].endswith(".ckpt") or args.run_dirs[0].endswith(".orbax"):
-        member_paths = args.run_dirs
+        members = [ckpt_meta(p) for p in args.run_dirs]
     else:
         ranked = rank_checkpoints(args.run_dirs)
         if len(ranked) < args.ensemble:
             raise SystemExit(f"only {len(ranked)} ranked checkpoints; need {args.ensemble}")
-        member_paths = [p for _, _, p in ranked[: args.ensemble]]
-    print("ensemble members:")
-    for p in member_paths:
-        print("  ", p)
+        members = ranked[: args.ensemble]
+    member_paths = [p for _, _, p in members]
+    # member provenance rides in the output so any reader of the curve (and
+    # bench.py's quality gate) can see what weights back each quality number
+    members_meta = [
+        {"val": (None if v != v else round(v, 4)),
+         "iter": (None if i < 0 else i), "path": os.path.relpath(p)}
+        for v, i, p in members
+    ]
+    print("ensemble members (val loss @ iteration):")
+    for v, i, p in members:
+        print(f"  {v:.4f} @ {i:>7,}  {p}")
 
     os.makedirs(args.save_dir, exist_ok=True)
     curve = []
@@ -124,19 +132,20 @@ def main(argv=None):
         curve.append(entry)
         print(json.dumps(entry))
         # incremental write: an interrupted sweep keeps every finished point
-        _write(args, member_paths, curve, partial=True)
+        _write(args, members_meta, curve, partial=True)
 
-    _write(args, member_paths, curve, partial=False)
+    _write(args, members_meta, curve, partial=False)
     print(f"wrote {args.out}")
 
 
-def _write(args, member_paths, curve, partial: bool):
+def _write(args, members_meta, curve, partial: bool):
     result = {
         "test_set": args.test_set,
         "n_test": args.n_test,
-        "ensemble": len(member_paths),
+        "ensemble": len(members_meta),
         "use_ema": bool(args.use_ema),
-        "members": member_paths,
+        "members": [m["path"] for m in members_meta],
+        "members_meta": members_meta,
         "curve": curve,
     }
     if partial:

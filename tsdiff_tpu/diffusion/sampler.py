@@ -145,7 +145,8 @@ def build_step_coeffs(
     # its gap is measured to one-below-the-window-floor instead (1 for a
     # contiguous walk regardless of where the window sits).
     gap = (i_arr - j_arr).astype(np.float64)
-    gap[-1] = i_arr[-1] - (t_end - n - 1)
+    if i_arr.size:  # n_steps=0 entry modes walk an empty sequence (no-op)
+        gap[-1] = i_arr[-1] - (t_end - n - 1)
 
     st = settings.sampling_type
     if st == "ld":
