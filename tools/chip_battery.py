@@ -242,6 +242,9 @@ def serve_stage(mixed: bool) -> None:
         PY, "tools/serve_bench.py",
         "--draft_respacing", str(steps),
         "--json", f"artifacts/{name}_r05.json",
+        # trained members + ground truth => per-tier quality columns
+        "--ckpts", *best_seed_ckpts(),
+        "--test_set", "data/synthetic/test_data.pkl",
     ]
     if mixed:
         cmd.append("--mixed")

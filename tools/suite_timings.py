@@ -37,6 +37,11 @@ class _Timings:
         self.records[report.nodeid] = rec + getattr(report, "duration", 0.0)
         if report.when == "call" or (report.when == "setup" and report.skipped):
             self.outcomes[report.nodeid] = report.outcome
+        elif report.failed:
+            # pytest's standard "error" case: a failure in setup/teardown has
+            # no call-phase report, and would otherwise vanish from the
+            # counts (ADVICE r04)
+            self.outcomes[report.nodeid] = "error"
 
     def pytest_sessionfinish(self, session):
         # one shard per xdist worker; the controller (which sees forwarded

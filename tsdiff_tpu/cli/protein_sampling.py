@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("--n_steps", type=int, default=None,
                         help="dsm: steps per sigma level (default 100); diffusion: steps of the schedule, default full")
     parser.add_argument("--step_lr", type=float, default=1e-6)
+    parser.add_argument("--sigma_respacing", type=int, default=None,
+                        help="DSM ladder respacing: anneal through only an "
+                             "evenly-strided m-level subsequence of the sigma "
+                             "ladder (endpoints kept; cost scales with "
+                             "m/num_noise_level; measured quality cost: "
+                             "artifacts/protein_ladder_respacing.json)")
     parser.add_argument("--global_start_sigma", type=float, default=float("inf"))
     parser.add_argument("--w_global", type=float, default=0.2)
     parser.add_argument("--clip", type=float, default=1000.0)
@@ -147,7 +153,7 @@ def main(argv=None):
             n_steps=args.n_steps, step_lr=args.step_lr,
             global_start_sigma=args.global_start_sigma,
             w_global=args.w_global, clip=args.clip, seed=args.seed + i,
-            mesh=mesh,
+            mesh=mesh, sigma_respacing=args.sigma_respacing,
         )
         if nan:
             # same policy as cli/sampling.py: one retry at clip 20
@@ -159,7 +165,7 @@ def main(argv=None):
                 n_steps=args.n_steps, step_lr=args.step_lr,
                 global_start_sigma=args.global_start_sigma,
                 w_global=args.w_global, clip=20.0, seed=args.seed + i + 7919,
-                mesh=mesh,
+                mesh=mesh, sigma_respacing=args.sigma_respacing,
             )
         sc = np.asarray(g["is_sidechain"], bool)
         d = np.linalg.norm(pos_gen[sc] - np.asarray(g["pos"])[sc], axis=-1)

@@ -66,6 +66,12 @@ def main(argv=None):
                              "previous subsequence element). Cuts per-sample cost "
                              "~n_steps/M; quality-gated in tests/test_respacing.py "
                              "and BENCH_NOTES.md")
+    parser.add_argument("--sigma_respacing", type=int, default=None,
+                        help="DSM-family analog of --timestep_respacing: "
+                             "anneal through only an evenly-strided m-level "
+                             "subsequence of the sigma ladder (endpoints "
+                             "kept). Measured quality cost: "
+                             "artifacts/protein_ladder_respacing.json")
     parser.add_argument("--eta", type=float, default=1.0)
     parser.add_argument("--step_lr", type=float, default=1e-7)
     parser.add_argument("--seed", type=int, default=2022)
@@ -306,13 +312,17 @@ def main(argv=None):
                     if args.timestep_respacing is not None:
                         logger.warning(
                             "--timestep_respacing only applies to the DDPM "
-                            "schedule walk; dsm models use their sigma "
-                            "ladder (reduce --n_steps per level instead)"
+                            "schedule walk; dsm models respace their sigma "
+                            "ladder instead — pass --sigma_respacing M "
+                            "(measured quality cost: artifacts/"
+                            "protein_ladder_respacing.json) or reduce "
+                            "--n_steps per level"
                         )
                     pos, traj, nan = dsm_annealed_sampling(
                         eps_fn, model.sigmas, pos_init, batch.node_mask, key,
                         n_steps=args.n_steps, step_lr=args.step_lr,
                         save_traj=args.save_traj,
+                        sigma_respacing=args.sigma_respacing,
                     )
                 else:
                     pos, traj, nan = dual_dynamic_sampling(

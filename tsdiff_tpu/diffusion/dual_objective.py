@@ -343,6 +343,23 @@ def accumulate_protein_eps(
     return eps_acc, counts
 
 
+def respaced_sigma_levels(lvl: np.ndarray, m: int | None) -> np.ndarray:
+    """Evenly-strided m-element subsequence of the kept ladder levels, both
+    endpoints included (the final level must stay sigma_end so the terminal
+    noise scale is unchanged).  ``m = None`` or ``m = len(lvl)`` is the full
+    ladder.  The returned values are ORIGINAL ladder indices — the model's
+    sigma embedding is conditioned on them unchanged."""
+    lvl = np.asarray(lvl)
+    if m is None or m == len(lvl):
+        return lvl
+    if not (1 <= m <= len(lvl)):
+        raise ValueError(
+            f"sigma_respacing={m} must be in [1, {len(lvl)} kept levels]")
+    idx = np.round(np.linspace(0, len(lvl) - 1, m)).astype(int)
+    idx[-1] = len(lvl) - 1  # m=1 anneals at sigma_end, not sigma_begin
+    return lvl[np.unique(idx)]
+
+
 def dsm_annealed_sampling(
     eps_fn,
     sigmas: np.ndarray,
@@ -357,10 +374,20 @@ def dsm_annealed_sampling(
     global_start_sigma: float = float("inf"),
     is_sidechain: jax.Array | None = None,
     pos_gt: jax.Array | None = None,
+    sigma_respacing: int | None = None,
 ):
     """Annealed Langevin over the sigma ladder (reference dualenc.py:1102-1203):
     for each sigma >= min_sigma, n_steps of
     ``pos += step*eps + noise*sqrt(2*step)`` with step = step_lr*(sigma/sigma_L)^2.
+
+    ``sigma_respacing = m``: walk only an evenly-strided m-level subsequence
+    of the ladder (both endpoints kept — the final level must stay sigma_end
+    so the terminal noise scale is unchanged), n_steps per retained level.
+    This is the DSM analog of the diffusion family's timestep respacing: the
+    model is still conditioned on each retained level's ORIGINAL index (its
+    trained sigma embedding), only the anneal gets coarser.  Cost scales with
+    m / num_noise_level; quality cost is measured in
+    artifacts/protein_ladder_respacing.json (tools/protein_ladder_respacing.py).
 
     Protein mode pins backbone atoms to ``pos_gt`` every step (reference
     dualenc.py:956-957); see ``dual_dynamic_sampling`` for the recentering
@@ -369,7 +396,7 @@ def dsm_annealed_sampling(
         assert pos_gt is not None, "need crd of backbone for sidechain prediction"
     sigmas = np.asarray(sigmas, dtype=np.float64)
     keep = sigmas >= min_sigma
-    lvl = np.where(keep)[0]
+    lvl = respaced_sigma_levels(np.where(keep)[0], sigma_respacing)
     step_sizes = step_lr * (sigmas[lvl] / sigmas[-1]) ** 2
     # flatten (level, inner-step) into one scan
     step_flat = np.repeat(step_sizes, n_steps)

@@ -85,6 +85,7 @@ def sample_protein_sidechains(
     clip: float = 1000.0,
     seed: int = 0,
     mesh=None,
+    sigma_respacing: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Regenerate all sidechains of one protein from noise.
 
@@ -110,6 +111,11 @@ def sample_protein_sidechains(
     scored subgraph keep their input coordinates with count 0.
     """
     is_dsm = model.model_type == "dsm"
+    if sigma_respacing is not None and not is_dsm:
+        raise ValueError(
+            "sigma_respacing is the DSM sigma-ladder respacing; diffusion-"
+            "family models use timestep respacing (cli/sampling.py)"
+        )
     if n_steps is None:
         n_steps = 100 if is_dsm else None  # diffusion: full schedule below
     if not is_dsm:
@@ -184,6 +190,7 @@ def sample_protein_sidechains(
                 k_run, n_steps=n_steps, step_lr=step_lr,
                 global_start_sigma=global_start_sigma,
                 is_sidechain=sc, pos_gt=batch.pos,
+                sigma_respacing=sigma_respacing,
             )
         else:
             settings = SamplingSettings(
